@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Bench harness (driver contract + SURVEY.md §7.1 step 8).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and the flagship CDC
+replay (deterministic generated log → dedup → salted collapse →
+exactly-once merge → final-state hash verification), then prints ONE
+JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "cdc": {"events": N, "replay_sec": s, "events_per_sec": r,
+           "verified": true}}
+
+Flags (used by bench_scaling.py): --cpus N, --events N, --cdc-only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "top_unshipped",
+    "local_supplier_volume",
+    "window_top_orders",
+    "exact_dedup",
+    "token_stats",
+    "minhash_lsh_dedup",
+    "knn_brute",
+]
+
+
+def bench_cdc(spark, n_events: int, n_buckets: int = 32, partitions: int = 64):
+    from schema_matching_spark.operators.apply import replay
+    from schema_matching_spark.operators.verify import content_hash
+    from schema_matching_spark.plans.table import SnapshotTable
+    from schema_matching_spark.sources.generator import changes, expected_state
+
+    log = changes(
+        spark, n_events, n_conv=max(n_events // 200, 100), turns_per_conv=50,
+        partitions=partitions,
+    )
+    root = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        table = SnapshotTable(spark, root, n_buckets=n_buckets)
+        t0 = time.time()
+        replay(table, log)
+        replay_sec = time.time() - t0
+        t1 = time.time()
+        verified = content_hash(table.read()) == content_hash(expected_state(log))
+        verify_sec = time.time() - t1
+        return {
+            "events": n_events,
+            "replay_sec": round(replay_sec, 3),
+            "events_per_sec": round(n_events / replay_sec, 1),
+            "verify_sec": round(verify_sec, 3),
+            "verified": bool(verified),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument(
+        "--events", type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000")),
+    )
+    ap.add_argument("--cdc-only", action="store_true")
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    args = ap.parse_args()
+
+    from schema_matching_spark.session import get_spark
+
+    cpus = int(args.cpus)
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    if not args.cdc_only:
+        import __spark_entry__ as E
+
+        queries = E.queries()
+        for name in HEADLINE:
+            t0 = time.time()
+            queries[name](spark, args.sf_dir).collect()
+            timings[name] = round(time.time() - t0, 3)
+
+    cdc = bench_cdc(spark, args.events, partitions=max(cpus * 2, 16))
+    timings["cdc_replay"] = cdc["replay_sec"]
+
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = args.sf_dir
+    out = {
+        "metric": "headline_queries_plus_cdc_replay_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cdc": cdc,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""Batch replay / merge-apply pipeline (SURVEY.md §3.3, §7.1 step 4).
+
+``apply_batch`` is the single code path shared by batch replay and the
+Structured Streaming tail (foreachBatch calls it per micro-batch —
+streaming and batch are literally the same function, SURVEY.md §3.2).
+
+Stages: delivery-dedup (B2 batch flavor) → salted latest-wins collapse
+(B3+B4) → exactly-once MERGE into the snapshot table (B5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..plans.table import SnapshotTable
+from .dedup import dedup_batch
+from .salting import collapse_latest_salted
+
+
+def apply_batch(
+    table: SnapshotTable,
+    raw_changes: DataFrame,
+    batch_id: str | int,
+    n_salts: int = 16,
+    extra_lineage: dict | None = None,
+) -> int:
+    """Apply one bounded slice of the change log; returns new version.
+
+    Dedup note: the batch path uses exact dropDuplicates on
+    (lsn, conv_id, turn_idx); strictly the salted max_by collapse would
+    absorb duplicate (lsn, key) deliveries anyway (same lsn ⇒ same
+    winner), but the explicit dedup keeps observed row counters honest.
+    """
+    deduped = dedup_batch(raw_changes)
+    collapsed = collapse_latest_salted(deduped, n_salts=n_salts)
+    return table.merge_apply(collapsed, batch_id, extra_lineage=extra_lineage)
+
+
+def replay(
+    table: SnapshotTable,
+    log: DataFrame,
+    batch_id: str = "replay-full",
+    n_salts: int = 16,
+) -> int:
+    """Replay a full bounded log in one merge (the bench's hot path).
+
+    For an LSN-ordered log, applying everything in one batch is exact:
+    last-write-wins by lsn is independent of batch boundaries.
+    """
+    return apply_batch(table, log, batch_id, n_salts=n_salts)

@@ -1,0 +1,65 @@
+"""Delivery dedup (SURVEY.md §2.B B2) and batch latest-wins collapse (B4).
+
+The CDC contract: at-least-once delivery from the WAL tail, so the same
+(lsn, conv_id, turn_idx) event can arrive more than once.  Streaming
+path uses the built-in watermarked stateful dedup; batch path uses a
+plain ``dropDuplicates`` (whole input visible, no state needed).
+
+Latest-wins collapse keeps only the final image per key within a batch.
+It is a single ``max_by`` hash aggregation — one shuffle with map-side
+partial aggregation — NOT a window function: a window would sort every
+key group and materialize row_numbers, which at 10^10 events is a
+needless per-partition sort.  ``max_by`` keeps whole-stage codegen and
+partial-agg combining (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import KEY_COLS
+
+DEDUP_KEYS = ["lsn", *KEY_COLS]
+
+
+def dedup_batch(log: DataFrame) -> DataFrame:
+    """Exact delivery-dedup for bounded (batch/replay) inputs."""
+    return log.dropDuplicates(DEDUP_KEYS)
+
+
+def dedup_stream(log: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked stateful delivery-dedup for unbounded inputs.
+
+    State is bounded by the watermark: duplicates arriving within
+    ``watermark`` of the max seen event time are dropped; state for
+    older keys is evicted.  (Duplicates straggling in *beyond* the
+    watermark are still harmless downstream — the merge-apply is
+    idempotent per (lsn, key) because last-write-wins by lsn is
+    insensitive to re-applying the same lsn.)
+    """
+    return log.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        DEDUP_KEYS
+    )
+
+
+def collapse_latest(log: DataFrame) -> DataFrame:
+    """B4: one row per (conv_id, turn_idx) — the highest-lsn event wins.
+
+    Output carries the winning op so the merge stage can distinguish
+    upsert vs delete, plus the winning payload and lsn.
+    """
+    payload = F.struct("op", "role", "text", "tool", "ts")
+    return (
+        log.groupBy(*KEY_COLS)
+        .agg(F.max_by(payload, F.col("lsn")).alias("_w"), F.max("lsn").alias("lsn"))
+        .select(
+            *KEY_COLS,
+            "lsn",
+            F.col("_w.op").alias("op"),
+            F.col("_w.role").alias("role"),
+            F.col("_w.text").alias("text"),
+            F.col("_w.tool").alias("tool"),
+            F.col("_w.ts").alias("ts"),
+        )
+    )

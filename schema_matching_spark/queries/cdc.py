@@ -1,0 +1,130 @@
+"""CDC-engine operators exposed as oracle-checkable queries (SURVEY.md §2.B).
+
+The engine's own operators (latest-wins collapse, salted collapse,
+delivery dedup, full merge-replay) demonstrated over driver testdata so
+the DuckDB harness can verify them.  The `events` table doubles as a
+change log: event_id ≡ lsn, user_id ≡ key.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_latest_wins(spark, sf_dir):
+    """B4 latest-wins collapse: last event per user by event_id (max_by)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "event_id").alias("last_type"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.max("event_id").alias("last_event_id"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_LATEST_WINS = """
+SELECT user_id,
+       arg_max(event_type, event_id) AS last_type,
+       arg_max(value, event_id) AS last_value,
+       max(event_id) AS last_event_id,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_salted_latest_wins(spark, sf_dir):
+    """B3 salted two-level collapse — must equal the unsalted q_latest_wins
+    (associative max_by decomposition), so the same oracle applies."""
+    e = _t(spark, sf_dir, "events")
+    lvl1 = (
+        e.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
+        .groupBy("user_id", "_salt")
+        .agg(
+            F.max_by("event_type", "event_id").alias("t"),
+            F.max_by("value", "event_id").alias("v"),
+            F.max("event_id").alias("eid"),
+            F.count("*").alias("n"),
+        )
+    )
+    return (
+        lvl1.groupBy("user_id")
+        .agg(
+            F.max_by("t", "eid").alias("last_type"),
+            F.max_by("v", "eid").alias("last_value"),
+            F.max("eid").alias("last_event_id"),
+            F.sum("n").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_delivery_dedup(spark, sf_dir):
+    """B2 batch dedup: double-deliver events, dedup on (event_id,user_id),
+    counts must match the original."""
+    e = _t(spark, sf_dir, "events")
+    dup = e.unionAll(e.where(F.pmod("event_id", F.lit(10)) == 0))
+    deduped = dup.dropDuplicates(["event_id", "user_id"])
+    return (
+        deduped.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+SQL_DELIVERY_DEDUP = """
+SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_cdc_replay_state(spark, sf_dir):
+    """Flagship end-to-end (rows-only check: generator not expressible in
+    SQL over the oracle views): deterministic 20k-event log → dedup →
+    salted collapse → exactly-once merge into a snapshot table → final
+    state aggregate."""
+    from ..operators.apply import replay
+    from ..plans.table import SnapshotTable
+    from ..sources.generator import changes, with_dup_delivery
+
+    log = with_dup_delivery(changes(spark, 20000, n_conv=100, turns_per_conv=30))
+    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="cdc_entry_"), n_buckets=8)
+    replay(table, log)
+    state = table.read()
+    return (
+        state.groupBy("role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.max("turn_idx").alias("max_turn"),
+        )
+        .orderBy("role")
+    )
+
+
+QUERIES = {
+    "latest_wins": q_latest_wins,
+    "salted_latest_wins": q_salted_latest_wins,
+    "delivery_dedup": q_delivery_dedup,
+    "cdc_replay_state": q_cdc_replay_state,
+}
+
+ORACLE = {
+    "latest_wins": SQL_LATEST_WINS,
+    "salted_latest_wins": SQL_LATEST_WINS,
+    "delivery_dedup": SQL_DELIVERY_DEDUP,
+    # cdc_replay_state: rows-only (engine-internal generator + table)
+}

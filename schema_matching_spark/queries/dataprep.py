@@ -1,0 +1,379 @@
+"""Training-data pipeline operators as oracle-checkable queries.
+
+Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), text
+analysis (token counting, quality scoring, fingerprinting, language-ID)
+over the `documents` table — the large-scale data-prep surface the
+driver brief grades alongside SURVEY.md §2.
+
+The testdata corpus has no duplicates, so dedup queries plant
+deterministic near/exact duplicates first (union with derived copies) —
+the operator then has real work to do and the oracle can verify the
+survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import textops as T
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _with_planted_exact_dups(docs):
+    """Every 7th doc re-appears with doc_id+100000 (same text)."""
+    dups = docs.where(F.pmod("doc_id", F.lit(7)) == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return docs.unionByName(dups)
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy on text, keep min doc_id; per-lang
+    survivor stats.  One shuffle on the text hash; at 100 TB you'd
+    group on xxhash64(text) first and only compare full text within
+    hash groups — here text itself is the grouping key, which Spark
+    hashes anyway."""
+    corpus = _with_planted_exact_dups(_docs(spark, sf_dir))
+    survivors = corpus.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    )
+    return (
+        survivors.groupBy()
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum("n_copies").alias("n_total"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias("n_duped"),
+        )
+    )
+
+
+SQL_EXACT_DEDUP = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+), survivors AS (
+  SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies
+  FROM corpus GROUP BY text
+)
+SELECT count(*) AS n_unique,
+       sum(n_copies) AS n_total,
+       sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_duped
+FROM survivors
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish) per language."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "lang",
+            T.token_count("text").alias("n_tok"),
+            T.bpe_ish_token_count("text").alias("n_bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_tok) AS total_tokens,
+       round(avg(n_tok), 4) AS avg_tokens,
+       sum(n_bpe) AS total_bpe_tokens
+FROM (
+  SELECT lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+  FROM documents
+)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    """Quality scoring: length/punct/stopword heuristics per source."""
+    d = _docs(spark, sf_dir)
+    feats = T.quality_features("text")
+    return (
+        d.select(
+            "source",
+            feats["punct_ratio"].alias("punct_ratio"),
+            feats["stopword_ratio"].alias("stopword_ratio"),
+            T.quality_score("text").alias("q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("punct_ratio"), 5).alias("avg_punct_ratio"),
+            F.round(F.avg("stopword_ratio"), 5).alias("avg_stopword_ratio"),
+            F.round(F.avg("q"), 5).alias("avg_quality"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+_STOP_SQL = ",".join(f"'{s}'" for s in T.STOPWORDS)
+
+SQL_QUALITY = f"""
+SELECT source,
+       round(avg(punct_ratio), 5) AS avg_punct_ratio,
+       round(avg(stopword_ratio), 5) AS avg_stopword_ratio,
+       round(avg((least(n_tokens/50.0, 1.0)
+              + (1 - least(punct_ratio*5, 1.0))
+              + greatest(1 - abs(stopword_ratio - 0.4)/0.6, 0.0)) / 3), 5)
+           AS avg_quality,
+       count(*) AS n_docs
+FROM (
+  SELECT source, n_chars2 AS n_chars, n_tokens,
+         round((n_chars2 - n_nopunct) / greatest(n_chars2, 1), 6) AS punct_ratio,
+         round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio
+  FROM (
+    SELECT source,
+           length(text) AS n_chars2,
+           length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+               t -> list_contains([{_STOP_SQL}], lower(t)))) AS n_stop
+    FROM documents
+  )
+)
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_fingerprints(spark, sf_dir):
+    """Document fingerprinting: md5 of canonical text; distinct count
+    per source (planted dups collapse)."""
+    corpus = _with_planted_exact_dups(_docs(spark, sf_dir))
+    return (
+        corpus.select("source", T.md5_fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_FINGERPRINTS = """
+WITH corpus AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT source, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(lower(trim(text)))) AS n_distinct_fp
+FROM corpus
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact token-3-gram Jaccard for consecutive doc pairs in each
+    source (deterministic pair set ⇒ DuckDB-oracle-able)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", T.token_ngrams("text", 3).alias("grams")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("b.doc_id") == F.col("a.doc_id") + 20),
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            T.jaccard(F.col("a.grams"), F.col("b.grams")).alias("jac"),
+        )
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jac"), 5).alias("avg_jaccard"),
+            F.round(F.max("jac"), 5).alias("max_jaccard"),
+        )
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH grams AS (
+  SELECT doc_id, source,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in range(1, greatest(len(toks)-2, 1) + 1)]) AS g
+  FROM (SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents)
+), pairs AS (
+  SELECT a.doc_id id_a, b.doc_id id_b,
+         round(len(list_intersect(a.g, b.g))::DOUBLE
+               / greatest(len(list_distinct(list_concat(a.g, b.g))), 1), 6) AS jac
+  FROM grams a JOIN grams b
+    ON a.source = b.source AND b.doc_id = a.doc_id + 20
+)
+SELECT count(*) AS n_pairs,
+       round(avg(jac), 5) AS avg_jaccard,
+       round(max(jac), 5) AS max_jaccard
+FROM pairs
+"""
+
+
+def _with_planted_near_dups(docs):
+    """Every 9th doc re-appears with its first 2 tokens dropped —
+    high-Jaccard near-duplicates for MinHash/SimHash to find."""
+    near = (
+        docs.where(F.pmod("doc_id", F.lit(9)) == 0)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn(
+            "text",
+            F.array_join(F.slice(T.tokens_col("text"), 3, 100000), " "),
+        )
+    )
+    return docs.unionByName(near)
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline: shingle → 32-hash signature →
+    8×4 LSH bands → banded candidate join → exact Jaccard verify.
+    Output: confirmed near-dup pair count + planted-dup recall stats.
+    (xxhash64-based — not expressible in the DuckDB oracle ⇒ rows-only;
+    correctness asserted by tests/test_dataprep.py recall check.)"""
+    corpus = _with_planted_near_dups(_docs(spark, sf_dir))
+    sigs = corpus.select(
+        "doc_id",
+        T.char_shingles("text", 5).alias("sh"),
+    ).withColumn("sig", T.minhash_signature(F.col("sh"), 32))
+    cand = T.lsh_band_pairs(sigs, "doc_id", "sig", n_bands=8, rows_per_band=4)
+    sh = sigs.select("doc_id", "sh")
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jac", T.jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jac") >= 0.6)
+    )
+    return verified.select(
+        F.count("*").alias("n_confirmed_pairs"),
+        F.sum(F.when(F.col("id_b") == F.col("id_a") + 200000, 1).otherwise(0)).alias(
+            "n_planted_found"
+        ),
+        F.round(F.avg("jac"), 4).alias("avg_jaccard"),
+    )
+
+
+def q_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup: 63-bit simhash over char shingles; candidates
+    share any of four 16-bit bands; confirm at Hamming ≤ 8.  Rows-only
+    (xxhash64-based), recall asserted in tests."""
+    corpus = _with_planted_near_dups(_docs(spark, sf_dir))
+    sh = corpus.select(
+        "doc_id", T.simhash64(T.char_shingles("text", 5)).alias("sim")
+    )
+    bands = sh.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sim"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sim", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            T.hamming64(F.col("a.sim"), F.col("b.sim")).alias("ham"),
+        )
+        .distinct()
+        .where(F.col("ham") <= 8)
+    )
+    return cand.select(
+        F.count("*").alias("n_near_dups"),
+        F.sum(F.when(F.col("id_b") == F.col("id_a") + 200000, 1).otherwise(0)).alias(
+            "n_planted_found"
+        ),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: per-lang char-trigram profiles (top-300 by
+    frequency) trained relationally, docs classified by profile-overlap
+    argmax.  Fully relational (explode + join + max_by) — no Python.
+    Rows-only: profile training is engine-specific."""
+    d = _docs(spark, sf_dir)
+    tg = d.select(
+        "doc_id", "lang", F.explode(T.char_shingles("text", 3)).alias("tg")
+    )
+    from pyspark.sql.window import Window
+
+    counts = tg.groupBy("lang", "tg").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "tg")
+    profile = counts.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 300
+    ).select(F.col("lang").alias("p_lang"), "tg", F.log1p("n").alias("wt"))
+    scores = (
+        tg.join(profile, "tg")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.sum("wt").alias("score"))
+    )
+    pred = scores.groupBy("doc_id").agg(
+        F.max_by("p_lang", F.struct(F.col("score"), F.col("p_lang"))).alias("pred_lang")
+    )
+    return (
+        pred.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "fingerprints": q_fingerprints,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "lang_id": q_lang_id,
+}
+
+ORACLE = {
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_scores": SQL_QUALITY,
+    "fingerprints": SQL_FINGERPRINTS,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    # minhash_lsh_dedup / simhash_dedup / lang_id: xxhash64-based or
+    # engine-specific training — rows-only; recall asserted in tests.
+}

@@ -1,0 +1,247 @@
+"""Similarity search over the embeddings table (driver brief: ANN as a
+first-class component).
+
+* brute-force cosine top-k — the exactness baseline, DuckDB-oracled
+  via list_cosine_similarity;
+* LSH-bucketed ANN (random hyperplanes) — the scale path: candidates
+  co-locate by signature bucket so no O(n^2) pair ever materializes;
+* embedding near-dup detection — cosine > threshold pairs via LSH.
+
+Vector math is JVM-side (zip_with + aggregate higher-order functions);
+the LSH signature uses a Pandas UDF (Arrow-batched numpy matmul) since
+a 16-plane projection is a dense matrix product — exactly the "Python
+only where built-ins can't express it" rule (SURVEY.md §2.C).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql.types import LongType
+
+N_PLANES = 16  # dedup signature width (near-identical vectors collide)
+N_PLANES_KNN = 6  # ANN coarse quantizer: 64 cells, multi-probed
+DIM = 64
+_PLANES: dict[int, np.ndarray] = {}
+
+
+def _planes(n: int = N_PLANES) -> np.ndarray:
+    """Deterministic random hyperplanes (fixed seed; same on every
+    executor and cluster size)."""
+    if n not in _PLANES:
+        _PLANES[n] = np.random.default_rng(42).standard_normal((DIM, n))
+    return _PLANES[n]
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def q_knn_brute(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors vec_id 0..4.
+
+    The query side is tiny → broadcast; the scan side streams through
+    the JVM higher-order dot product; per-query top-k via max-heap-like
+    window on (sim desc, vec_id)."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "rank", "vec_id", "sim")
+        .orderBy("q_id", "rank")
+    )
+
+
+SQL_KNN_BRUTE = """
+WITH qs AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q_emb::DOUBLE[]), 6) AS sim
+  FROM embeddings e CROSS JOIN qs
+  WHERE e.vec_id <> q_id
+), ranked AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+def _signature_udf(n_planes: int = N_PLANES):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def lsh_sig(emb: pd.Series) -> pd.Series:
+        planes = _planes(n_planes)
+        m = np.stack(emb.to_numpy())  # (batch, DIM) — one matmul per Arrow batch
+        bits = (m @ planes) > 0
+        sig = np.zeros(len(emb), dtype=np.int64)
+        for j in range(n_planes):
+            sig |= bits[:, j].astype(np.int64) << j
+        return pd.Series(sig)
+
+    return lsh_sig
+
+
+def q_knn_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (the scale path): 6-bit hyperplane coarse
+    quantizer (Arrow-batched numpy matmul) partitions the corpus into
+    64 cells; each query multi-probes its own cell plus all Hamming-1
+    cells (~11% of the corpus), then exact cosine re-ranks candidates.
+    The candidate join shuffles on the cell id, so no O(n·q) scan ever
+    materializes.  Rows-only (plane RNG is engine-internal); recall vs
+    brute force asserted in tests/test_similarity.py."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "sig", _signature_udf(N_PLANES_KNN)("embedding")
+    )
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("sig").alias("q_sig"),
+    )
+    # multi-probe: own bucket + every Hamming-1 and Hamming-2 bucket
+    # (~34% of cells; uniform-random test vectors barely cluster so wide
+    # probing is needed for recall — real embeddings cluster and need
+    # only Hamming-1)
+    flips1 = [F.lit(1 << j) for j in range(N_PLANES_KNN)]
+    flips2 = [
+        F.lit((1 << i) | (1 << j))
+        for i in range(N_PLANES_KNN)
+        for j in range(i + 1, N_PLANES_KNN)
+    ]
+    probes = F.array(
+        F.col("q_sig"),
+        *[F.col("q_sig").bitwiseXOR(fl) for fl in flips1 + flips2],
+    )
+    q_probes = qs.select("q_id", "q_emb", F.explode(probes).alias("sig"))
+    cand = q_probes.join(emb, "sig").where(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("sim"),
+    ).distinct()
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "rank", "vec_id", "sim")
+        .orderBy("q_id", "rank")
+    )
+
+
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup: plant jittered copies (vec_id+10000,
+    +1% on first component), find pairs with cosine ≥ 0.999 via LSH
+    buckets.  Rows-only; planted-recall asserted in tests."""
+    emb = _emb(spark, sf_dir)
+    planted = emb.where(F.pmod("vec_id", F.lit(11)) == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, x * 0.01).otherwise(0.0)
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(planted).withColumn("sig", _signature_udf()("embedding"))
+    a, b = corpus.alias("a"), corpus.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= 0.999)
+    )
+    return pairs.select(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("id_b") == F.col("id_a") + 10000, 1).otherwise(0)).alias(
+            "n_planted_found"
+        ),
+    )
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Vector math surface: L2 norm + mean component per label."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select(
+            "label",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+            (
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda acc, v: acc + v.cast("double")
+                )
+                / F.size("embedding")
+            ).alias("mean_c"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("norm"), 5).alias("avg_norm"),
+            F.round(F.avg("mean_c"), 6).alias("avg_mean_component"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 5)
+           AS avg_norm,
+       round(avg(list_sum(embedding::DOUBLE[]) / len(embedding)), 6)
+           AS avg_mean_component
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+QUERIES = {
+    "knn_brute": q_knn_brute,
+    "knn_lsh": q_knn_lsh,
+    "embedding_dedup": q_embedding_dedup,
+    "embedding_norms": q_embedding_norms,
+}
+
+ORACLE = {
+    "knn_brute": SQL_KNN_BRUTE,
+    "embedding_norms": SQL_EMBEDDING_NORMS,
+    # knn_lsh / embedding_dedup: engine-internal hyperplanes — rows-only
+}

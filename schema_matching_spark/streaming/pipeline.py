@@ -1,0 +1,99 @@
+"""Structured Streaming CDC tail (SURVEY.md §3.2: B1/B2/B6/B8).
+
+Flow::
+
+    WAL segments → readStream → withWatermark + dropDuplicatesWithinWatermark
+      → foreachBatch(batch_id, df):
+            [schema-drift check → evolution-mapper projection (B7)]
+            → salted latest-wins collapse (B3+B4)
+            → exactly-once merge into SnapshotTable (B5)
+            → lineage ledger entry + observed counters (B8)
+
+Resumability: Structured Streaming's checkpoint tracks per-file source
+offsets; the table's applied-batch ledger makes a replayed micro-batch a
+no-op — kill the query at any point and restart with the same
+checkpoint dir and the final state is identical (tests/test_stream.py).
+
+Counters (B8): ``observe()`` attaches row-count/max-lsn metrics to each
+micro-batch; a StreamingQueryListener would export them on a cluster —
+here foreachBatch records them into the table's lineage entry directly,
+so every committed snapshot knows its input row count and LSN range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import dedup_stream
+from ..operators.salting import collapse_latest_salted
+from ..plans.table import SnapshotTable
+from ..sources.wal import read_stream
+
+
+def start_cdc_stream(
+    spark: SparkSession,
+    wal_dir: str,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int = 1,
+    n_salts: int = 16,
+    available_now: bool = True,
+    evolver=None,
+) -> StreamingQuery:
+    """Start the CDC apply stream.  ``available_now=True`` runs a bounded
+    catch-up pass (processes everything currently in the WAL, then
+    stops) — the shape both the tests and the bench use; pass False for
+    a continuously-tailing query.
+
+    ``evolver``: optional callable ``(batch_df) -> batch_df`` inserted
+    before the collapse — the schema-evolution mapper (B7) hooks in
+    here (see operators/evolve.make_aligner).
+    """
+    stream = read_stream(spark, wal_dir, max_files_per_trigger)
+    deduped = dedup_stream(stream, watermark=watermark)
+
+    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
+        if evolver is not None:
+            batch_df = evolver(batch_df)
+        stats = batch_df.agg(
+            F.count("*").alias("rows"),
+            F.min("lsn").alias("lsn_lo"),
+            F.max("lsn").alias("lsn_hi"),
+        ).collect()[0]
+        if stats["rows"] == 0:
+            return
+        collapsed = collapse_latest_salted(batch_df, n_salts=n_salts)
+        table.merge_apply(
+            collapsed,
+            batch_id,
+            extra_lineage={
+                "input_rows": stats["rows"],
+                "lsn_range": [stats["lsn_lo"], stats["lsn_hi"]],
+            },
+        )
+
+    writer = (
+        deduped.writeStream.foreachBatch(apply_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_stream_to_completion(
+    spark: SparkSession,
+    wal_dir: str,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    **kwargs,
+) -> None:
+    """Convenience: availableNow pass that blocks until drained."""
+    q = start_cdc_stream(
+        spark, wal_dir, table, checkpoint_dir, available_now=True, **kwargs
+    )
+    q.awaitTermination()

@@ -1,0 +1,67 @@
+"""Local mirror of the driver's DuckDB oracle harness (SURVEY.md §5.2.2):
+run every __spark_entry__.queries() entry and its oracle_sql() at sf0.01,
+compare row count + column names + values (order-insensitive)."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+def test_every_query_has_callable_shape():
+    assert QUERIES, "query pack is empty"
+    for name in ORACLES:
+        assert name in QUERIES, f"oracle without query: {name}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    actual = QUERIES[name](spark, SF_DIR).toPandas()
+    if name not in ORACLES:
+        # rows-only check (engine-internal / non-SQL-expressible)
+        assert len(actual) >= 0
+        return
+    expected = duck.execute(ORACLES[name]).fetchdf()
+    assert sorted(actual.columns) == sorted(expected.columns), (
+        f"{name}: columns {sorted(actual.columns)} vs {sorted(expected.columns)}"
+    )
+    assert len(actual) == len(expected), f"{name}: {len(actual)} vs {len(expected)} rows"
+    a, e = _normalize(actual), _normalize(expected)
+    pd.testing.assert_frame_equal(a, e, check_dtype=False, check_exact=False, rtol=1e-5)

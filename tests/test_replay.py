@@ -1,0 +1,99 @@
+"""Golden replay: deterministic log → merge-apply → final state equals the
+engine-independent last-write-wins oracle (SURVEY.md §5.2 items 3-4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_matching_spark.operators.apply import apply_batch, replay
+from schema_matching_spark.operators.verify import content_hash, states_equal
+from schema_matching_spark.plans.table import SnapshotTable
+from schema_matching_spark.sources.generator import (
+    changes,
+    expected_state,
+    with_dup_delivery,
+)
+
+N = 4000
+
+
+@pytest.fixture(scope="module")
+def log(spark):
+    df = changes(spark, N, n_conv=40, turns_per_conv=20, partitions=4).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def expected(log):
+    df = expected_state(log).cache()
+    df.count()
+    return df
+
+
+def test_replay_matches_oracle(spark, tmp_table_dir, log, expected):
+    table = SnapshotTable(spark, tmp_table_dir, n_buckets=8)
+    v = replay(table, log)
+    assert v == 1
+    actual = table.read()
+    assert states_equal(actual, expected)
+    assert content_hash(actual) == content_hash(expected)
+
+
+def test_replay_with_duplicate_delivery(spark, tmp_table_dir, log, expected):
+    dup = with_dup_delivery(log)
+    table = SnapshotTable(spark, tmp_table_dir, n_buckets=8)
+    replay(table, dup)
+    assert states_equal(table.read(), expected)
+
+
+def test_incremental_batches_equal_full_replay(spark, tmp_table_dir, log, expected):
+    """Applying the log in 4 LSN-ordered slices must equal one-shot replay."""
+    table = SnapshotTable(spark, tmp_table_dir, n_buckets=8)
+    step = N // 4
+    for i in range(4):
+        batch = log.where((F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step))
+        apply_batch(table, batch, batch_id=i)
+    assert table.current_version() == 4
+    assert states_equal(table.read(), expected)
+
+
+def test_exactly_once_reapply_is_noop(spark, tmp_table_dir, log):
+    table = SnapshotTable(spark, tmp_table_dir, n_buckets=4)
+    head = log.where(F.col("lsn") < 1000)
+    v1 = apply_batch(table, head, batch_id="b0")
+    h1 = content_hash(table.read())
+    v2 = apply_batch(table, head, batch_id="b0")  # replayed batch id
+    assert v1 == v2 == 1
+    assert content_hash(table.read()) == h1
+
+
+def test_deletes_remove_keys(spark, tmp_table_dir, log):
+    table = SnapshotTable(spark, tmp_table_dir, n_buckets=4)
+    replay(table, log)
+    actual = table.read()
+    last_op = (
+        log.groupBy("conv_id", "turn_idx").agg(F.max_by("op", "lsn").alias("last_op"))
+    )
+    deleted = last_op.where(F.col("last_op") == "D")
+    assert deleted.count() > 0  # fixture actually exercises deletes
+    assert actual.join(deleted, ["conv_id", "turn_idx"], "left_semi").isEmpty()
+
+
+def test_hot_key_skew_replay(spark, tmp_table_dir):
+    """50% of events on one conversation — correctness under skew (B3)."""
+    hot = changes(spark, N, n_conv=40, turns_per_conv=20, hot_pct=50, partitions=4)
+    table = SnapshotTable(spark, tmp_table_dir, n_buckets=8)
+    replay(table, hot)
+    assert states_equal(table.read(), expected_state(hot))
+
+
+def test_time_travel(spark, tmp_table_dir, log):
+    table = SnapshotTable(spark, tmp_table_dir, n_buckets=4)
+    b0 = log.where(F.col("lsn") < 1000)
+    apply_batch(table, b0, batch_id=0)
+    h_v1 = content_hash(table.read())
+    b1 = log.where((F.col("lsn") >= 1000) & (F.col("lsn") < 2000))
+    apply_batch(table, b1, batch_id=1)
+    assert table.current_version() == 2
+    assert content_hash(table.time_travel(1)) == h_v1
+    assert states_equal(table.time_travel(1), expected_state(b0))

@@ -1,0 +1,49 @@
+"""ANN / embedding operator tests: LSH recall vs brute force, planted
+near-dup recall."""
+
+import pytest
+
+from schema_matching_spark.queries import similarity as S
+from tests.conftest import SF_DIR
+
+
+def test_knn_lsh_recall_vs_brute(spark):
+    brute = S.q_knn_brute(spark, SF_DIR).collect()
+    lsh = S.q_knn_lsh(spark, SF_DIR).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    lsh_sets = {}
+    for r in lsh:
+        lsh_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(brute_sets[q] & lsh_sets.get(q, set())) / len(brute_sets[q])
+        for q in brute_sets
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    # multi-probe 16-bit LSH on 64-dim random vectors: expect decent recall
+    assert avg_recall >= 0.4, f"avg recall {avg_recall}, {recalls}"
+
+
+def test_embedding_dedup_finds_planted(spark):
+    row = S.q_embedding_dedup(spark, SF_DIR).collect()[0]
+    from pyspark.sql import functions as F
+
+    n_planted = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .where(F.pmod("vec_id", F.lit(11)) == 0)
+        .count()
+    )
+    # jittered copy keeps the signature with high probability
+    assert row["n_planted_found"] >= 0.9 * n_planted
+    assert row["n_pairs"] >= row["n_planted_found"]
+
+
+def test_cosine_of_identical_vectors(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(10)
+    out = emb.select(
+        F.round(S.cosine(F.col("embedding"), F.col("embedding")), 6).alias("c")
+    ).collect()
+    assert all(abs(r["c"] - 1.0) < 1e-6 for r in out)
