@@ -23,16 +23,19 @@ def apply_batch(
     batch_id: str | int,
     n_salts: int = 16,
     extra_lineage: dict | None = None,
+    dedup: bool = False,
 ) -> int:
     """Apply one bounded slice of the change log; returns new version.
 
-    Dedup note: the batch path uses exact dropDuplicates on
-    (lsn, conv_id, turn_idx); strictly the salted max_by collapse would
-    absorb duplicate (lsn, key) deliveries anyway (same lsn ⇒ same
-    winner), but the explicit dedup keeps observed row counters honest.
+    Dedup note: an explicit dropDuplicates shuffle is redundant here —
+    duplicate (lsn, key) deliveries carry identical payloads, so the
+    salted max_by collapse absorbs them (same lsn ⇒ same winner), and
+    the table's lsn-LWW merge absorbs cross-batch redeliveries.  Pass
+    ``dedup=True`` only when exact pre-collapse row counters are needed.
     """
-    deduped = dedup_batch(raw_changes)
-    collapsed = collapse_latest_salted(deduped, n_salts=n_salts)
+    if dedup:
+        raw_changes = dedup_batch(raw_changes)
+    collapsed = collapse_latest_salted(raw_changes, n_salts=n_salts)
     return table.merge_apply(collapsed, batch_id, extra_lineage=extra_lineage)
 
 

@@ -33,10 +33,11 @@ def dedup_stream(log: DataFrame, watermark: str = "10 minutes") -> DataFrame:
 
     State is bounded by the watermark: duplicates arriving within
     ``watermark`` of the max seen event time are dropped; state for
-    older keys is evicted.  (Duplicates straggling in *beyond* the
-    watermark are still harmless downstream — the merge-apply is
-    idempotent per (lsn, key) because last-write-wins by lsn is
-    insensitive to re-applying the same lsn.)
+    older keys is evicted.  Duplicates straggling in *beyond* the
+    watermark are still harmless downstream: the table stores each
+    key's applied lsn and MERGE is last-write-wins by lsn, so
+    re-applying a stale lsn — in any later batch — is a per-key no-op
+    (plans/table.merge_apply).
     """
     return log.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         DEDUP_KEYS

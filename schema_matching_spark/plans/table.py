@@ -13,20 +13,30 @@ model from first principles:
   complete snapshot and a crash mid-commit leaves the previous snapshot
   intact (files without a committed manifest are invisible garbage).
 
-Exactly-once: the manifest carries ``applied_batches`` (batch_id →
-version).  ``merge_apply`` on an already-applied batch_id is a no-op,
-so foreachBatch replays after a crash are idempotent (SURVEY.md §4.2).
+Exactly-once has two layers:
+
+1. the manifest's ``applied_batches`` ledger (batch_id → version) makes
+   a replayed foreachBatch micro-batch a no-op;
+2. each stored row carries its source ``lsn``, and MERGE is
+   last-write-wins by lsn — so even a duplicate event smuggled into a
+   *different* batch (e.g. redelivered beyond the dedup watermark)
+   cannot regress a key to older data.  Applying any event is
+   idempotent, in any batch, in any order.
 
 Scale design: the table is hash-bucketed on ``conv_id`` into
 ``n_buckets`` buckets.  A merge touches only buckets containing changed
 conversations — at 100 TB with (say) 8192 buckets and a micro-batch
 touching 1% of conversations, ~99% of the table's files are carried
 forward untouched in the new manifest; only affected buckets are read,
-anti-joined, and rewritten.  The anti-join build side is the per-batch
-collapsed change set, which AQE converts to a broadcast join at runtime
-when small.  On a cluster with ``iceberg-spark-runtime`` this sink swaps
-for ``DataFrame.mergeInto`` (API verified present in PySpark 4.1.2) by
-configuration — the public surface below mirrors what it needs.
+re-reduced, and rewritten.  The merge itself is one hash aggregation
+over (affected current rows ∪ collapsed batch): current state
+contributes ≤1 row per key and the collapsed batch ≤1 row per key, so
+the reduce sees ≤2 rows per key — no skew is possible at this stage
+regardless of hot conversations (the salted collapse upstream already
+defused the raw-event skew).  On a cluster with
+``iceberg-spark-runtime`` this sink swaps for ``DataFrame.mergeInto``
+(API verified present in PySpark 4.1.2) by configuration — the public
+surface below mirrors what it needs.
 """
 
 from __future__ import annotations
@@ -38,8 +48,22 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from ..schemas import KEY_COLS, TRANSCRIPT_COLS, TRANSCRIPT_SCHEMA
+
+#: physical file schema = logical transcript columns + source lsn + op.
+#: op='D' rows are TOMBSTONES: a delete must remember its lsn, or a
+#: stale pre-delete event redelivered beyond the dedup watermark would
+#: resurrect the key.  read() filters tombstones; compact() ages them
+#: out once they fall behind the redelivery horizon.
+from pyspark.sql.types import StringType  # noqa: E402
+
+FILE_SCHEMA = StructType(
+    TRANSCRIPT_SCHEMA.fields
+    + [StructField("lsn", LongType(), False), StructField("op", StringType(), False)]
+)
+FILE_COLS = [*TRANSCRIPT_COLS, "lsn", "op"]
 
 
 def bucket_expr(n_buckets: int):
@@ -111,15 +135,19 @@ class SnapshotTable:
     # -------------------------------------------------------------- read
 
     def read(self, version: int | None = None) -> DataFrame:
-        """Current (or time-travel) table state, transcript columns only."""
-        return self._read_files([f["path"] for f in self.manifest(version)["files"]])
+        """Current (or time-travel) table state, logical columns only
+        (tombstones filtered)."""
+        return (
+            self._read_files([f["path"] for f in self.manifest(version)["files"]])
+            .where(F.col("op") != "D")
+            .select(*TRANSCRIPT_COLS)
+        )
 
     def _read_files(self, paths: list[str]) -> DataFrame:
+        """Raw file rows (transcript cols + lsn)."""
         if not paths:
-            return self.spark.createDataFrame([], TRANSCRIPT_SCHEMA)
-        return self.spark.read.schema(TRANSCRIPT_SCHEMA).parquet(*paths).select(
-            *TRANSCRIPT_COLS
-        )
+            return self.spark.createDataFrame([], FILE_SCHEMA)
+        return self.spark.read.schema(FILE_SCHEMA).parquet(*paths).select(*FILE_COLS)
 
     def time_travel(self, version: int) -> DataFrame:
         return self.read(version)
@@ -130,15 +158,19 @@ class SnapshotTable:
     # ------------------------------------------------------------- write
 
     def _write_commit_files(self, df: DataFrame) -> list[dict]:
-        """Write ``df`` (transcript cols + _bucket) one-file-set-per-bucket;
-        return manifest file entries.  The bucket id is kept both as a
-        partition directory (for file bookkeeping) and could be re-derived
-        from conv_id on read, so leaf files remain self-contained."""
+        """Write ``df`` (FILE_COLS + _bucket) one-file-set-per-bucket;
+        return manifest file entries.
+
+        One shuffle (repartition on _bucket) + one sort per task:
+        sorting by (_bucket, key) both satisfies the partitioned
+        writer's required ordering (so it does not insert its own sort)
+        and clusters rows by key inside each file for scan locality.
+        """
         commit_id = uuid.uuid4().hex
         out_dir = os.path.join(self.root, "data", commit_id)
         (
             df.repartition(F.col("_bucket"))
-            .sortWithinPartitions(*KEY_COLS)
+            .sortWithinPartitions("_bucket", *KEY_COLS)
             .write.partitionBy("_bucket")
             .parquet(out_dir)
         )
@@ -158,10 +190,16 @@ class SnapshotTable:
         return entries
 
     def overwrite(self, df: DataFrame, batch_id: str | None = None) -> int:
-        """Replace the whole table with ``df`` (bootstrap / full snapshot)."""
+        """Replace the whole table with ``df`` (bootstrap / full snapshot).
+        If ``df`` lacks an lsn column, rows get lsn=0 (anything merged
+        later wins)."""
         cur = self.manifest()
+        if "lsn" not in df.columns:
+            df = df.withColumn("lsn", F.lit(0).cast("long"))
+        if "op" not in df.columns:
+            df = df.withColumn("op", F.lit("I"))
         entries = self._write_commit_files(
-            df.select(*TRANSCRIPT_COLS).withColumn("_bucket", bucket_expr(self.n_buckets))
+            df.select(*FILE_COLS).withColumn("_bucket", bucket_expr(self.n_buckets))
         )
         version = cur["version"] + 1
         ledger = dict(cur["applied_batches"])
@@ -186,6 +224,43 @@ class SnapshotTable:
             }
         )
 
+    def compact(self, tombstone_horizon_lsn: int | None = None) -> int:
+        """Maintenance: rewrite the table dropping tombstones whose lsn
+        is below the redelivery horizon (i.e. no event that old can
+        still arrive), merging small files per bucket in the process.
+
+        At 100 TB this runs per-bucket-range on a schedule; here it is a
+        single rewrite.  Readers are unaffected (snapshot isolation via
+        the pointer)."""
+        cur = self.manifest()
+        rows = self._read_files([f["path"] for f in cur["files"]])
+        if tombstone_horizon_lsn is not None:
+            rows = rows.where(
+                (F.col("op") != "D") | (F.col("lsn") >= tombstone_horizon_lsn)
+            )
+        entries = self._write_commit_files(
+            rows.withColumn("_bucket", bucket_expr(self.n_buckets))
+        )
+        version = cur["version"] + 1
+        return self._commit(
+            {
+                "version": version,
+                "parent": cur["version"],
+                "n_buckets": self.n_buckets,
+                "files": entries,
+                "applied_batches": dict(cur["applied_batches"]),
+                "lineage": cur["lineage"]
+                + [
+                    {
+                        "op": "compact",
+                        "version": version,
+                        "tombstone_horizon_lsn": tombstone_horizon_lsn,
+                        "wall_ts": time.time(),
+                    }
+                ],
+            }
+        )
+
     def merge_apply(
         self,
         collapsed: DataFrame,
@@ -193,17 +268,19 @@ class SnapshotTable:
         extra_lineage: dict | None = None,
     ) -> int:
         """Exactly-once MERGE of a *collapsed* change set (one row per
-        (conv_id, turn_idx), carrying the winning ``op``/payload/lsn —
-        see operators/dedup.collapse_latest).
+        (conv_id, turn_idx), carrying the winning ``op``/payload/``lsn``
+        — see operators/dedup.collapse_latest).
 
-        Semantics (north_star): matched + op='D' → delete; matched →
-        update; not-matched + op≠'D' → insert; replay of an applied
-        batch_id → no-op.
+        Semantics (north_star): per key, the highest-lsn event ever
+        applied wins; a winning op='D' removes the key; replay of an
+        applied batch_id is a no-op; applying a stale lsn (redelivered
+        beyond the dedup watermark, in any later batch) is a no-op for
+        that key.
 
         Physical plan: prune to affected buckets (file-level, via the
-        manifest) → left-anti join current-bucket rows against changed
-        keys (AQE broadcasts the small side) → union the upsert images →
-        rewrite only those buckets.
+        manifest) → union current bucket rows (≤1 per key, op='I') with
+        the batch (≤1 per key) → max_by(lsn) hash reduce (≤2 rows per
+        key: skew-free by construction) → rewrite only those buckets.
         """
         cur = self.manifest()
         if str(batch_id) in cur["applied_batches"]:
@@ -219,13 +296,27 @@ class SnapshotTable:
             touch_paths = [f["path"] for f in cur["files"] if f["bucket"] in affected]
 
             current_rows = self._read_files(touch_paths)
-            changed_keys = collapsed.select(*KEY_COLS)
-            survivors = current_rows.join(changed_keys, on=KEY_COLS, how="left_anti")
-            upserts = collapsed.where(F.col("op") != "D").select(*TRANSCRIPT_COLS)
-            new_data = (
-                survivors.unionByName(upserts)
-                .withColumn("_bucket", bucket_expr(self.n_buckets))
+            batch_rows = collapsed.select(*FILE_COLS)
+            payload = F.struct("op", "role", "text", "tool", "ts")
+            winners = (
+                current_rows.unionByName(batch_rows)
+                .groupBy(*KEY_COLS)
+                .agg(
+                    F.max_by(payload, F.col("lsn")).alias("_w"),
+                    F.max("lsn").alias("lsn"),
+                )
             )
+            # losers vanish; winners keep op — op='D' rows persist as
+            # tombstones so the delete's lsn keeps guarding the key
+            new_data = winners.select(
+                *KEY_COLS,
+                F.col("_w.role").alias("role"),
+                F.col("_w.text").alias("text"),
+                F.col("_w.tool").alias("tool"),
+                F.col("_w.ts").alias("ts"),
+                "lsn",
+                F.col("_w.op").alias("op"),
+            ).withColumn("_bucket", bucket_expr(self.n_buckets))
             new_entries = self._write_commit_files(new_data)
 
             version = cur["version"] + 1

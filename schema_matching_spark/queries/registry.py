@@ -3,9 +3,17 @@
 
 from __future__ import annotations
 
-from . import cdc, dataprep, multimodal_q, relational, similarity
+from . import (
+    cdc,
+    dataprep,
+    multimodal_q,
+    relational,
+    relational2,
+    relational3,
+    similarity,
+)
 
-_MODULES = [relational, cdc, dataprep, similarity, multimodal_q]
+_MODULES = [relational, relational2, relational3, cdc, dataprep, similarity, multimodal_q]
 
 
 def all_queries() -> dict:

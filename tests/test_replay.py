@@ -79,12 +79,54 @@ def test_deletes_remove_keys(spark, tmp_table_dir, log):
     assert actual.join(deleted, ["conv_id", "turn_idx"], "left_semi").isEmpty()
 
 
+def test_stale_redelivery_across_batches_is_noop(spark, tmp_table_dir, log, expected):
+    """A duplicate that sneaks past the watermark into a LATER batch
+    (different batch_id) must not regress keys to older payloads:
+    MERGE is last-write-wins by stored lsn (plans/table.py)."""
+    table = SnapshotTable(spark, tmp_table_dir, n_buckets=4)
+    half = N // 2
+    b0 = log.where(F.col("lsn") < half)
+    b1 = log.where(F.col("lsn") >= half)
+    apply_batch(table, b0, batch_id="b0")
+    apply_batch(table, b1, batch_id="b1")
+    h = content_hash(table.read())
+    # redeliver the ENTIRE first half as a fresh batch id
+    apply_batch(table, b0, batch_id="b0-redelivered")
+    assert content_hash(table.read()) == h
+    assert states_equal(table.read(), expected)
+
+
 def test_hot_key_skew_replay(spark, tmp_table_dir):
     """50% of events on one conversation — correctness under skew (B3)."""
     hot = changes(spark, N, n_conv=40, turns_per_conv=20, hot_pct=50, partitions=4)
     table = SnapshotTable(spark, tmp_table_dir, n_buckets=8)
     replay(table, hot)
     assert states_equal(table.read(), expected_state(hot))
+
+
+def test_delete_resurrection_blocked_by_tombstone(spark, tmp_table_dir):
+    """Insert key (lsn 1) → delete key (lsn 2) → redeliver the stale
+    insert in a later batch: the tombstone's lsn must keep the key dead."""
+    from schema_matching_spark.schemas import CHANGE_SCHEMA
+    import datetime as dt
+
+    ts = dt.datetime(2026, 1, 1)
+    ins = spark.createDataFrame(
+        [(1, "I", ts, "conv-x", 0, "user", "hello", None)], CHANGE_SCHEMA
+    )
+    dele = spark.createDataFrame(
+        [(2, "D", ts, "conv-x", 0, None, None, None)], CHANGE_SCHEMA
+    )
+    table = SnapshotTable(spark, tmp_table_dir, n_buckets=2)
+    apply_batch(table, ins, batch_id="b-ins")
+    apply_batch(table, dele, batch_id="b-del")
+    assert table.read().count() == 0
+    apply_batch(table, ins, batch_id="b-ins-redelivered")
+    assert table.read().count() == 0, "stale insert resurrected a deleted key"
+    # compaction beyond the horizon drops the tombstone from files
+    table.compact(tombstone_horizon_lsn=10)
+    raw = table._read_files([f["path"] for f in table.manifest()["files"]])
+    assert raw.count() == 0
 
 
 def test_time_travel(spark, tmp_table_dir, log):
