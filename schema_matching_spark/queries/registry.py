@@ -10,10 +10,20 @@ from . import (
     relational,
     relational2,
     relational3,
+    relational4,
     similarity,
 )
 
-_MODULES = [relational, relational2, relational3, cdc, dataprep, similarity, multimodal_q]
+_MODULES = [
+    relational,
+    relational2,
+    relational3,
+    relational4,
+    cdc,
+    dataprep,
+    similarity,
+    multimodal_q,
+]
 
 
 def all_queries() -> dict:
