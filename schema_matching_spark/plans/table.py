@@ -287,6 +287,19 @@ class SnapshotTable:
             return cur["version"]  # idempotent replay
 
         collapsed = collapsed.withColumn("_bucket", bucket_expr(self.n_buckets))
+        if not cur["files"]:
+            # Bootstrap fast path (empty table / full-log replay): the
+            # collapsed batch already holds ≤1 row per key, so there is
+            # nothing to reduce against — skip the persist, the
+            # affected-bucket collect, and the union+re-reduce shuffle
+            # entirely and stream the collapse output straight into the
+            # bucketed writer.  This is the CDC-replay hot path.
+            new_entries = self._write_commit_files(collapsed.select(*FILE_COLS, "_bucket"))
+            affected = {e["bucket"] for e in new_entries}
+            return self._commit_merge(
+                cur, [], new_entries, batch_id, affected, extra_lineage
+            )
+
         collapsed.persist()
         try:
             affected = {
@@ -318,28 +331,40 @@ class SnapshotTable:
                 F.col("_w.op").alias("op"),
             ).withColumn("_bucket", bucket_expr(self.n_buckets))
             new_entries = self._write_commit_files(new_data)
-
-            version = cur["version"] + 1
-            ledger = dict(cur["applied_batches"])
-            ledger[str(batch_id)] = version
-            lineage_entry = {
-                "op": "merge",
-                "version": version,
-                "batch_id": str(batch_id),
-                "affected_buckets": sorted(affected),
-                "wall_ts": time.time(),
-            }
-            if extra_lineage:
-                lineage_entry.update(extra_lineage)
-            return self._commit(
-                {
-                    "version": version,
-                    "parent": cur["version"],
-                    "n_buckets": self.n_buckets,
-                    "files": keep + new_entries,
-                    "applied_batches": ledger,
-                    "lineage": cur["lineage"] + [lineage_entry],
-                }
+            return self._commit_merge(
+                cur, keep, new_entries, batch_id, affected, extra_lineage
             )
         finally:
             collapsed.unpersist()
+
+    def _commit_merge(
+        self,
+        cur: dict,
+        keep: list[dict],
+        new_entries: list[dict],
+        batch_id: str | int,
+        affected: set[int],
+        extra_lineage: dict | None,
+    ) -> int:
+        version = cur["version"] + 1
+        ledger = dict(cur["applied_batches"])
+        ledger[str(batch_id)] = version
+        lineage_entry = {
+            "op": "merge",
+            "version": version,
+            "batch_id": str(batch_id),
+            "affected_buckets": sorted(affected),
+            "wall_ts": time.time(),
+        }
+        if extra_lineage:
+            lineage_entry.update(extra_lineage)
+        return self._commit(
+            {
+                "version": version,
+                "parent": cur["version"],
+                "n_buckets": self.n_buckets,
+                "files": keep + new_entries,
+                "applied_batches": ledger,
+                "lineage": cur["lineage"] + [lineage_entry],
+            }
+        )
