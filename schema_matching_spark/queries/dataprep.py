@@ -255,12 +255,9 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     (xxhash64-based — not expressible in the DuckDB oracle ⇒ rows-only;
     correctness asserted by tests/test_dataprep.py recall check.)"""
     corpus = _with_planted_near_dups(_docs(spark, sf_dir))
-    sigs = corpus.select(
-        "doc_id",
-        T.char_shingles("text", 5).alias("sh"),
-    ).withColumn("sig", T.minhash_signature(F.col("sh"), 32))
+    sigs = T.minhash_signatures_text(corpus, "doc_id", "text", k=5, n_hashes=32)
     cand = T.lsh_band_pairs(sigs, "doc_id", "sig", n_bands=8, rows_per_band=4)
-    sh = sigs.select("doc_id", "sh")
+    sh = corpus.select("doc_id", T.char_shingles("text", 5).alias("sh"))
     verified = (
         cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -281,9 +278,11 @@ def q_simhash_dedup(spark, sf_dir):
     share any of four 16-bit bands; confirm at Hamming ≤ 8.  Rows-only
     (xxhash64-based), recall asserted in tests."""
     corpus = _with_planted_near_dups(_docs(spark, sf_dir))
-    sh = corpus.select(
-        "doc_id", T.simhash64(T.char_shingles("text", 5)).alias("sim")
-    )
+    sh = T.simhash64_df(
+        corpus.select("doc_id", T.char_shingles("text", 5).alias("sh5")),
+        "doc_id",
+        "sh5",
+    ).select("doc_id", "sim")
     bands = sh.select(
         "doc_id",
         "sim",
