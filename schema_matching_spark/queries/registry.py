@@ -12,6 +12,7 @@ from . import (
     relational3,
     relational4,
     similarity,
+    sources_q,
 )
 
 _MODULES = [
@@ -23,6 +24,7 @@ _MODULES = [
     dataprep,
     similarity,
     multimodal_q,
+    sources_q,
 ]
 
 

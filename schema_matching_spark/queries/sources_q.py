@@ -1,0 +1,180 @@
+"""Source/sink surface as oracle-checkable queries (SURVEY.md §2.C
+"Scans / sources"): CSV and JSON batch round-trips, partitioned-parquet
+write + partition-pruned read, and a genuine Structured Streaming
+execution whose result the batch oracle verifies.
+
+Round-trip queries materialize testdata into a deterministic scratch
+dir (overwritten each run) and read it back through the format under
+test — the values survive bit-for-bit (Spark's double formatting
+round-trips), so the DuckDB oracle computes the same answer straight
+from the parquet views.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "sms_sources_scratch")
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _scratch(sf_dir: str, tag: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(_SCRATCH, key, tag)
+
+
+def q_csv_source(spark, sf_dir):
+    """CSV sink + scan: supplier → csv (header) → read with explicit
+    schema → per-nation agg.  Exercises the text-format codec path and
+    schema-on-read; doubles round-trip exactly (shortest-repr)."""
+    path = _scratch(sf_dir, "supplier_csv")
+    sup = _t(spark, sf_dir, "supplier")
+    sup.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema(sup.schema).option("header", True).csv(path)
+    )
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_bal"),
+            F.min("s_name").alias("first_name"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+SQL_CSV_SOURCE = """
+SELECT s_nationkey, count(*) AS n_suppliers,
+       round(avg(s_acctbal), 4) AS avg_bal,
+       min(s_name) AS first_name
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+def q_json_source(spark, sf_dir):
+    """JSON-lines sink + scan: nation ⋈ region → json → read back →
+    region rollup.  Exercises the JSON codec with nested-free schema
+    inference disabled (explicit schema, the scale-safe way)."""
+    path = _scratch(sf_dir, "nation_json")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+    joined.write.mode("overwrite").json(path)
+    back = spark.read.schema(joined.schema).json(path)
+    return (
+        back.groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+            F.max("n_name").alias("last_nation"),
+        )
+        .orderBy("r_name")
+    )
+
+
+SQL_JSON_SOURCE = """
+SELECT r_name, count(*) AS n_nations,
+       min(n_name) AS first_nation,
+       max(n_name) AS last_nation
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def q_partition_pruned_scan(spark, sf_dir):
+    """Hive-style partitioned write + pruned read: orders partitioned by
+    o_orderstatus; the filtered read touches only the 'F' directory
+    (partition pruning — PartitionFilters in the scan, the layout the
+    snapshot table uses per-bucket at 100 TB)."""
+    path = _scratch(sf_dir, "orders_by_status")
+    o = _t(spark, sf_dir, "orders")
+    (
+        o.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+SQL_PARTITION_PRUNED = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+def q_stream_aggregate(spark, sf_dir):
+    """A real Structured Streaming execution: events re-materialized as
+    file-stream input (2 segment files), readStream → groupBy agg →
+    complete-mode memory sink, availableNow trigger drained to the end.
+    The streaming result must equal the batch oracle over the same
+    rows — micro-batch boundaries must not change the aggregate."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src = _scratch(sf_dir, "events_stream_src")
+    ev.where(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(src, "seg0")
+    )
+    ev.where(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+        os.path.join(src, "seg1")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    sink = "stream_aggregate_result"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("event_type")
+
+
+SQL_STREAM_AGGREGATE = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "csv_source": q_csv_source,
+    "json_source": q_json_source,
+    "partition_pruned_scan": q_partition_pruned_scan,
+    "stream_aggregate": q_stream_aggregate,
+}
+
+ORACLE = {
+    "csv_source": SQL_CSV_SOURCE,
+    "json_source": SQL_JSON_SOURCE,
+    "partition_pruned_scan": SQL_PARTITION_PRUNED,
+    "stream_aggregate": SQL_STREAM_AGGREGATE,
+}
