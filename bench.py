@@ -39,14 +39,36 @@ HEADLINE = [
 ]
 
 
-def bench_cdc(spark, n_events: int, n_buckets: int = 32, partitions: int = 64):
+def _scratch_base() -> str | None:
+    """Prefer tmpfs for bench scratch — this sandbox's disk-backed /tmp
+    adds page-cache fault noise on top of the hypervisor's slow
+    demand-paging (see session.py heap note)."""
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
+def bench_cdc(spark, n_events: int, n_buckets: int = 32, partitions: int = 64,
+              warmup: bool = True):
     from schema_matching_spark.operators.apply import replay
     from schema_matching_spark.operators.verify import content_hash
     from schema_matching_spark.plans.table import SnapshotTable
     from schema_matching_spark.sources.generator import changes, expected_state
 
-    root = tempfile.mkdtemp(prefix="bench_cdc_")
+    root = tempfile.mkdtemp(prefix="bench_cdc_", dir=_scratch_base())
     try:
+        if warmup:
+            # untimed warm-up replay: JIT-compiles the codegen'd stages
+            # and warms the JVM code cache.  At the north metric's 10^10
+            # events, warm-up is noise; at bench scale it would dominate.
+            wt = SnapshotTable(
+                spark, os.path.join(root, "warm_tbl"), n_buckets=n_buckets
+            )
+            replay(
+                wt,
+                changes(
+                    spark, 200_000, n_conv=1000, turns_per_conv=50,
+                    partitions=partitions,
+                ),
+            )
         # materialize the WAL untimed — the metric is events/sec
         # *replaying* a CDC log, so the timed section starts at the
         # parquet scan, not at synthetic generation
@@ -91,8 +113,12 @@ def main() -> None:
     from schema_matching_spark.session import get_spark
 
     cpus = int(args.cpus)
+    extra = {}
+    if _scratch_base():
+        extra["spark.local.dir"] = os.path.join(_scratch_base(), "bench_spark_local")
     spark = get_spark(
-        "bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
+        "bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus,
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -24,31 +24,49 @@ from ..schemas import KEY_COLS
 
 
 def collapse_latest_salted(log: DataFrame, n_salts: int = 16) -> DataFrame:
-    """Skew-proof B4: two-level latest-wins collapse.
+    """Skew-proof B4: salted latest-wins collapse, payload-free agg.
 
-    Level 1 shuffles on (conv_id, turn_idx, salt) — a hot conversation's
-    events spread over ``n_salts`` partitions and are reduced there
-    (map-side partial agg already shrinks each partition to ≤ one row
-    per (key, salt)).  Level 2 reduces the ≤ ``n_salts`` survivors per
-    key; its shuffle moves at most n_salts rows per key, so the hot key
-    is defused.
+    Two phases, chosen for what Spark's aggregation engine can actually
+    hash-aggregate (measured, not assumed — see commit history):
+
+    1. **Winning-lsn search, narrow and salted.**  ``max(lsn)`` grouped
+       by (key, salt) then by key.  The aggregation buffer is a single
+       long, so this stays in whole-stage-codegen ``HashAggregate`` with
+       map-side partials.  A payload-carrying ``max_by(struct(...))``
+       instead plans as ObjectHashAggregate which *sort-falls-back after
+       128 groups per partition* (spark.sql.objectHashAggregate.
+       sortBased.fallbackThreshold) — at millions of keys that
+       degenerates to TimSorting every shuffle partition of full rows.
+       The salt level spreads a hot conversation's events over
+       ``n_salts`` reducers (north rule: skew handled explicitly);
+       map-side partial agg already bounds reducer load, AQE skew
+       handling stays on as defense-in-depth.
+
+    2. **Payload fetch by join-back.**  Inner join of the log on
+       (key, winning lsn) recovers the full winning row.  The winners
+       side is narrow (key + lsn); at micro-batch sizes it broadcasts,
+       at replay sizes it shuffled-hash-joins on the key (session
+       default prefers hash over sort-merge) — either way the wide
+       payload columns are never sorted and never enter an agg buffer.
+
+    Duplicate deliveries of the *winning* event (same lsn + key, same
+    payload — the WAL redelivery case) would survive the join as
+    identical rows; the final ``distinct`` absorbs them.  It groups on
+    all columns with NO aggregation buffer, which is plain
+    HashAggregate — unlike ``dropDuplicates(subset)``, whose first()
+    buffers on string payloads would sort-fall-back again.
     """
-    payload = F.struct("op", "role", "text", "tool", "ts")
-    level1 = (
-        log.withColumn("_salt", F.pmod(F.xxhash64("lsn"), F.lit(n_salts)))
-        .groupBy(*KEY_COLS, "_salt")
-        .agg(F.max_by(payload, F.col("lsn")).alias("_w"), F.max("lsn").alias("lsn"))
+    salted = log.withColumn("_salt", F.pmod(F.xxhash64("lsn"), F.lit(n_salts)))
+    winners = (
+        salted.groupBy(*KEY_COLS, "_salt")
+        .agg(F.max("lsn").alias("lsn"))
+        .groupBy(*KEY_COLS)
+        .agg(F.max("lsn").alias("lsn"))
     )
-    return (
-        level1.groupBy(*KEY_COLS)
-        .agg(F.max_by(F.col("_w"), F.col("lsn")).alias("_w"), F.max("lsn").alias("lsn"))
-        .select(
-            *KEY_COLS,
-            "lsn",
-            F.col("_w.op").alias("op"),
-            F.col("_w.role").alias("role"),
-            F.col("_w.text").alias("text"),
-            F.col("_w.tool").alias("tool"),
-            F.col("_w.ts").alias("ts"),
-        )
-    )
+    # shuffle_hash hint: broadcasting the winners would collect+build a
+    # multi-million-entry hash relation single-threaded on the driver —
+    # measured as the scaling bottleneck.  A shuffled-hash join builds
+    # per-partition tables in parallel (build side = narrow winners).
+    return log.join(winners.hint("shuffle_hash"), [*KEY_COLS, "lsn"], "inner").select(
+        *KEY_COLS, "lsn", "op", "role", "text", "tool", "ts"
+    ).distinct()

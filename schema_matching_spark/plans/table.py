@@ -157,20 +157,30 @@ class SnapshotTable:
 
     # ------------------------------------------------------------- write
 
-    def _write_commit_files(self, df: DataFrame) -> list[dict]:
-        """Write ``df`` (FILE_COLS + _bucket) one-file-set-per-bucket;
-        return manifest file entries.
+    def _write_commit_files(self, df: DataFrame, cluster: bool = False) -> list[dict]:
+        """Write ``df`` (FILE_COLS + _bucket) bucket-partitioned; return
+        manifest file entries.
 
-        One shuffle (repartition on _bucket) + one sort per task:
-        sorting by (_bucket, key) both satisfies the partitioned
-        writer's required ordering (so it does not insert its own sort)
-        and clusters rows by key inside each file for scan locality.
+        Default (cluster=False) writes straight from the incoming
+        partitioning: each task sorts by (_bucket, key) — satisfying the
+        partitioned writer's required ordering AND clustering rows by
+        key inside each file — and emits one file per (task, bucket).
+        The upstream merge join has already shuffled the rows once;
+        re-shuffling full-width payloads a second time just to get
+        one-file-per-bucket was the single biggest cost of a commit
+        (measured).  More, smaller files per bucket are absorbed by the
+        manifest and merged away by compact().
+
+        cluster=True forces the extra repartition for one-file-per-bucket
+        layouts (used by compact, where file-count reduction is the
+        point).
         """
         commit_id = uuid.uuid4().hex
         out_dir = os.path.join(self.root, "data", commit_id)
+        if cluster:
+            df = df.repartition(F.col("_bucket"))
         (
-            df.repartition(F.col("_bucket"))
-            .sortWithinPartitions("_bucket", *KEY_COLS)
+            df.sortWithinPartitions("_bucket", *KEY_COLS)
             .write.partitionBy("_bucket")
             .parquet(out_dir)
         )
@@ -239,7 +249,7 @@ class SnapshotTable:
                 (F.col("op") != "D") | (F.col("lsn") >= tombstone_horizon_lsn)
             )
         entries = self._write_commit_files(
-            rows.withColumn("_bucket", bucket_expr(self.n_buckets))
+            rows.withColumn("_bucket", bucket_expr(self.n_buckets)), cluster=True
         )
         version = cur["version"] + 1
         return self._commit(
@@ -310,26 +320,24 @@ class SnapshotTable:
 
             current_rows = self._read_files(touch_paths)
             batch_rows = collapsed.select(*FILE_COLS)
-            payload = F.struct("op", "role", "text", "tool", "ts")
-            winners = (
-                current_rows.unionByName(batch_rows)
-                .groupBy(*KEY_COLS)
-                .agg(
-                    F.max_by(payload, F.col("lsn")).alias("_w"),
-                    F.max("lsn").alias("lsn"),
-                )
+            rows = current_rows.unionByName(batch_rows)
+            # Latest-wins reduce via narrow max(lsn) + join-back (same
+            # rationale as operators/salting.collapse_latest_salted: a
+            # payload-carrying max_by plans as ObjectHashAggregate and
+            # sort-falls-back past 128 groups/partition; max(long) stays
+            # whole-stage-codegen HashAggregate).  ≤2 rows per key reach
+            # this reduce, so the join-back is cheap; the distinct
+            # absorbs a batch row that ties the stored row on lsn
+            # (idempotent re-apply of an already-applied event).
+            # Losers vanish; winners keep op — op='D' rows persist as
+            # tombstones so the delete's lsn keeps guarding the key.
+            win_lsn = rows.groupBy(*KEY_COLS).agg(F.max("lsn").alias("lsn"))
+            new_data = (
+                rows.join(win_lsn.hint("shuffle_hash"), [*KEY_COLS, "lsn"], "inner")
+                .select(*FILE_COLS)
+                .distinct()
+                .withColumn("_bucket", bucket_expr(self.n_buckets))
             )
-            # losers vanish; winners keep op — op='D' rows persist as
-            # tombstones so the delete's lsn keeps guarding the key
-            new_data = winners.select(
-                *KEY_COLS,
-                F.col("_w.role").alias("role"),
-                F.col("_w.text").alias("text"),
-                F.col("_w.tool").alias("tool"),
-                F.col("_w.ts").alias("ts"),
-                "lsn",
-                F.col("_w.op").alias("op"),
-            ).withColumn("_bucket", bucket_expr(self.n_buckets))
             new_entries = self._write_commit_files(new_data)
             return self._commit_merge(
                 cur, keep, new_entries, batch_id, affected, extra_lineage

@@ -1,0 +1,127 @@
+"""Physical-plan hygiene golden tests (SURVEY.md §4.2).
+
+The engine's scale posture relies on Catalyst doing specific things —
+filter pushdown into the parquet scan, column pruning, broadcast of
+small dimensions, whole-stage codegen, and no Python evaluation inside
+JVM-only pipelines.  These tests pin those properties so a regression
+(e.g. an accidental UDF or a cast blocking pushdown) is caught at test
+time, not at 100 TB.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jqe = df._jdf.queryExecution()
+    if mode == "formatted":
+        return jqe.explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    return jqe.toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    from schema_matching_spark.queries.relational import q_pricing_summary
+
+    plan = _plan(q_pricing_summary(spark, SF_DIR))
+    assert "PushedFilters:" in plan
+    # the shipdate predicate must be inside the scan, not a post-filter only
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_in_scan(spark):
+    from schema_matching_spark.queries.relational import q_pricing_summary
+
+    plan = _plan(q_pricing_summary(spark, SF_DIR))
+    # pricing summary touches 7 of lineitem's 11 columns; the scan must
+    # not read the join keys it doesn't need
+    assert "l_partkey" not in plan
+    assert "l_suppkey" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_small_dims_are_broadcast(spark):
+    from schema_matching_spark.queries.relational import q_local_supplier_volume
+
+    plan = _plan(q_local_supplier_volume(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    from schema_matching_spark.queries.relational import q_pricing_summary
+
+    df = q_pricing_summary(spark, SF_DIR)
+    df.collect()  # AQE only shows codegen spans in the final (executed) plan
+    plan = _plan(df)
+    # formatted mode marks whole-stage-codegen operators with a '*'
+    assert "* HashAggregate" in plan
+    assert "* ColumnarToRow" in plan or "* Project" in plan or "* Filter" in plan
+
+
+def test_cdc_collapse_plan_is_jvm_only(spark):
+    """The CDC hot path must never fall out of the JVM: no row-at-a-time
+    or Arrow Python evaluation nodes in collapse+merge reduce plans."""
+    from schema_matching_spark.operators.salting import collapse_latest_salted
+    from schema_matching_spark.sources.generator import changes
+
+    log = changes(spark, 10_000, n_conv=50, turns_per_conv=20, partitions=4)
+    plan = _plan(collapse_latest_salted(log, n_salts=4))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_minhash_pipeline_is_jvm_only(spark):
+    """Dedup signatures are built-ins end-to-end (the Python-free scale
+    path) — a regression to interpreted/Python eval would show here."""
+    from schema_matching_spark.functions.textops import minhash_signatures_text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(minhash_signatures_text(docs, "doc_id", "text"))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_partition_pruning_on_partitioned_layout(spark):
+    """A filter on the partition column must prune directories (the
+    snapshot table relies on the same mechanism per bucket)."""
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "plan_prune_check")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(1000)
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    df = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_merge_apply_broadcasts_small_change_sets(spark, tmp_path):
+    """Incremental merge of a small batch against current bucket rows is
+    a hash aggregation over a union — confirm no sort-merge join or
+    cartesian sneaks into the reduce (the plan is agg-only by design)."""
+    from schema_matching_spark.operators.apply import apply_batch
+    from schema_matching_spark.plans.table import SnapshotTable
+    from schema_matching_spark.sources.generator import changes
+
+    table = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=4)
+    apply_batch(table, changes(spark, 2000, n_conv=20, turns_per_conv=10), "b0")
+    v = table.current_version()
+    assert v == 1
+    # second small batch exercises the bucket-pruned incremental path
+    apply_batch(
+        table,
+        changes(spark, 500, n_conv=20, turns_per_conv=10, lsn_start=2000),
+        "b1",
+    )
+    assert table.current_version() == 2
+    m = table.manifest()
+    assert m["lineage"][-1]["op"] == "merge"
+    assert len(m["lineage"][-1]["affected_buckets"]) <= 4
