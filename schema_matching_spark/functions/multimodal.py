@@ -119,6 +119,51 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return cols.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("mean_byte", DoubleType(), False),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame, frame_bytes: int = 64, stride: int = 4
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: treat the opaque
+    payload as a sequence of fixed-size frames, keep every ``stride``-th
+    frame, emit per-frame features.
+
+    The chunk/stride/feature math is vectorized numpy inside one
+    ``mapInPandas`` pass (a real decoder slots into ``_frame_features``
+    once a codec is installed); the output is fixed-width rows, so
+    everything downstream shuffles features, never payloads.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n_frames = len(b) // frame_bytes
+                for fi in range(0, n_frames, stride):
+                    frame = np.frombuffer(
+                        b, dtype=np.uint8, count=frame_bytes, offset=fi * frame_bytes
+                    )
+                    rows.append(
+                        (int(asset_id), fi, frame_bytes, float(frame.mean()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        gen, schema=FRAME_SCHEMA
+    )
+
+
 def assets_from_documents(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text's UTF-8 bytes as an opaque payload —
     the stand-in corpus for binary assets in this container."""

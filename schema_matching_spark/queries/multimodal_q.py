@@ -43,5 +43,53 @@ ORDER BY kind
 """
 
 
-QUERIES = {"multimodal_features": q_multimodal_features}
+def q_frame_sample(spark, sf_dir):
+    """Video-style frame sampling over opaque payloads: chunk each
+    payload into 64-byte frames, keep every 4th, per-kind frame stats.
+    Rows-only (byte-chunking of UTF-8 payloads is not portably
+    expressible in the oracle dialect); the frame math itself is
+    unit-tested in tests/test_multimodal.py."""
+    from ..functions.multimodal import assets_from_documents, sample_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assets = assets_from_documents(docs)
+    frames = sample_frames(assets, frame_bytes=64, stride=4)
+    return frames.agg(
+        F.count("*").alias("n_frames"),
+        F.countDistinct("asset_id").alias("n_assets_with_frames"),
+        F.round(F.avg("mean_byte"), 4).alias("avg_frame_mean_byte"),
+        F.max("frame_idx").alias("max_frame_idx"),
+    )
+
+
+def q_schema_evolution_mapping(spark, sf_dir):
+    """The engine's distinguishing feature as a query: a renamed drifted
+    re-emission of the change schema is aligned back to the target by
+    value-distribution similarity (collector features + Hungarian
+    assignment — the reference's matcher pipeline re-architected on
+    Arrow).  Deterministic; rows-only (the matcher itself is the
+    engine-internal being demonstrated).  Accuracy oracles live in
+    tests/test_evolve.py."""
+    from ..operators.evolve import decide_mapping
+    from ..sources.generator import changes, expected_state
+
+    base = changes(spark, 4000, n_conv=30, turns_per_conv=15)
+    drifted = base.select(
+        "lsn", "op", "ts",
+        F.col("conv_id").alias("session_id"),
+        F.col("turn_idx").alias("seq_no"),
+        F.col("role").alias("speaker"),
+        F.col("text").alias("content"),
+        F.col("tool").alias("tool_name"),
+    )
+    mapping = decide_mapping(drifted, expected_state(base))
+    rows = [(src, tgt) for src, tgt in sorted(mapping.items())]
+    return spark.createDataFrame(rows, ["incoming_col", "mapped_to"])
+
+
+QUERIES = {
+    "multimodal_features": q_multimodal_features,
+    "frame_sample": q_frame_sample,
+    "schema_evolution_mapping": q_schema_evolution_mapping,
+}
 ORACLE = {"multimodal_features": SQL_MULTIMODAL}

@@ -48,3 +48,29 @@ def test_payloads_stay_off_driver(spark):
     assert "payload" not in feats.columns
     n = feats.count()
     assert n == docs.count()
+
+
+def test_frame_sampling_math(spark):
+    """Known payload → exact frame count, stride, and per-frame means."""
+    import numpy as np
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+    from schema_matching_spark.functions.multimodal import sample_frames
+
+    payload = bytes(range(256)) * 2  # 512 bytes = 8 frames of 64
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))],
+        StructType([
+            StructField("asset_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]),
+    )
+    rows = sample_frames(df, frame_bytes=64, stride=4).collect()
+    # frames 0 and 4 survive the stride
+    assert sorted(r["frame_idx"] for r in rows) == [0, 4]
+    for r in rows:
+        lo = r["frame_idx"] * 64
+        expect = float(np.frombuffer(payload[lo:lo + 64], dtype=np.uint8).mean())
+        assert abs(r["mean_byte"] - expect) < 1e-9
+        assert r["n_bytes"] == 64
