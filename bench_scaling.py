@@ -124,7 +124,7 @@ def main() -> None:
 
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
     weak_table = "\n".join(
-        f"| {n:,} | {n/weak[n]:.1f} | {weak_rows[n]:,.0f} |" for n in sorted(weak)
+        f"| {n:,} | {weak[n]:.1f} | {weak_rows[n]:,.0f} |" for n in sorted(weak)
     )
     with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — measured scaling evidence
