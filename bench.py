@@ -102,7 +102,7 @@ def main() -> None:
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument(
         "--events", type=int,
-        default=int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000")),
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "10000000")),
     )
     ap.add_argument("--cdc-only", action="store_true")
     ap.add_argument(
