@@ -17,6 +17,46 @@ def _t(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def q_stateful_progress(spark, sf_dir):
+    """Custom stateful streaming operator through the driver contract:
+    per-conversation running totals via applyInPandasWithState across
+    micro-batches (maxFilesPerTrigger=1), drained with availableNow.
+    Rows-only (input is the deterministic generated change log);
+    cross-batch accumulation vs batch ground truth is asserted in
+    tests/test_stateful.py."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from ..sources.generator import changes
+    from ..sources.wal import read_stream, write_segments
+    from ..streaming.stateful import conversation_progress
+
+    root = tempfile.mkdtemp(prefix="q_stateful_")
+    log = changes(spark, 3000, n_conv=20, turns_per_conv=10, partitions=4)
+    write_segments(log, os.path.join(root, "wal"), 3)
+    q = (
+        conversation_progress(read_stream(spark, os.path.join(root, "wal"), 1))
+        .writeStream.format("memory")
+        .queryName("q_stateful_progress_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("q_stateful_progress_sink")
+    return (
+        emitted.groupBy("conv_id")
+        .agg(
+            F2.max("n_events").alias("n_events"),
+            F2.max("n_deletes").alias("n_deletes"),
+            F2.max("max_lsn").alias("max_lsn"),
+            F2.max("n_turns_touched").alias("n_turns_touched"),
+        )
+        .orderBy("conv_id")
+    )
+
+
 def q_latest_wins(spark, sf_dir):
     """B4 latest-wins collapse: last event per user by event_id (max_by)."""
     e = _t(spark, sf_dir, "events")
@@ -120,6 +160,7 @@ QUERIES = {
     "salted_latest_wins": q_salted_latest_wins,
     "delivery_dedup": q_delivery_dedup,
     "cdc_replay_state": q_cdc_replay_state,
+    "stateful_progress": q_stateful_progress,
 }
 
 ORACLE = {

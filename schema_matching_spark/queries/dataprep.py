@@ -327,8 +327,8 @@ def q_simhash_dedup(spark, sf_dir):
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic: per-lang char-trigram profiles (top-300 by
     frequency) trained relationally, docs classified by profile-overlap
-    argmax.  Fully relational (explode + join + max_by) — no Python.
-    Rows-only: profile training is engine-specific."""
+    argmax.  Fully relational (explode + join + max_by) — no Python,
+    and fully DuckDB-oracle-able (training included)."""
     d = _docs(spark, sf_dir)
     tg = d.select(
         "doc_id", "lang", F.explode(T.char_shingles("text", 3)).alias("tg")
@@ -356,6 +356,35 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+SQL_LANG_ID = """
+WITH tg AS (
+  SELECT DISTINCT doc_id, lang, substr(text, CAST(u AS INT), 3) AS tg
+  FROM (SELECT doc_id, lang, text,
+               unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS u
+        FROM documents)
+), counts AS (
+  SELECT lang, tg, count(*) AS n FROM tg GROUP BY lang, tg
+), profile AS (
+  SELECT lang AS p_lang, tg, ln(1 + n) AS wt,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tg) AS rk
+  FROM counts
+), scores AS (
+  SELECT t.doc_id, p.p_lang, sum(p.wt) AS score
+  FROM tg t JOIN profile p ON t.tg = p.tg AND p.rk <= 300
+  GROUP BY t.doc_id, p.p_lang
+), pred AS (
+  SELECT doc_id, p_lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang DESC) AS rk
+  FROM scores
+)
+SELECT d.lang, p.pred_lang, count(*) AS n
+FROM pred p JOIN documents d USING (doc_id)
+WHERE p.rk = 1
+GROUP BY d.lang, p.pred_lang
+ORDER BY d.lang, p.pred_lang
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_stats": q_token_stats,
@@ -373,6 +402,7 @@ ORACLE = {
     "quality_scores": SQL_QUALITY,
     "fingerprints": SQL_FINGERPRINTS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
-    # minhash_lsh_dedup / simhash_dedup / lang_id: xxhash64-based or
-    # engine-specific training — rows-only; recall asserted in tests.
+    "lang_id": SQL_LANG_ID,
+    # minhash_lsh_dedup / simhash_dedup: xxhash64-based (not in the
+    # oracle dialect) — rows-only; recall asserted in tests.
 }
