@@ -338,7 +338,10 @@ class SnapshotTable:
                 .distinct()
                 .withColumn("_bucket", bucket_expr(self.n_buckets))
             )
-            new_entries = self._write_commit_files(new_data)
+            # incremental batches are small and frequent: the extra
+            # repartition is cheap and keeps one file set per bucket
+            # (bootstrap skips it — there the shuffle is the whole log)
+            new_entries = self._write_commit_files(new_data, cluster=True)
             return self._commit_merge(
                 cur, keep, new_entries, batch_id, affected, extra_lineage
             )

@@ -139,3 +139,45 @@ def test_time_travel(spark, tmp_table_dir, log):
     assert table.current_version() == 2
     assert content_hash(table.time_travel(1)) == h_v1
     assert states_equal(table.time_travel(1), expected_state(b0))
+
+
+def test_crash_safety_of_commit_protocol(spark, tmp_path):
+    """Data files without a committed manifest are invisible garbage;
+    an orphan manifest without the pointer flip is equally invisible;
+    the next real commit overwrites the orphan and proceeds cleanly
+    (SURVEY.md §7.3 / §7.4 'exactly-once without a transactional
+    catalog')."""
+    from schema_matching_spark.operators.salting import collapse_latest_salted
+    from schema_matching_spark.plans.table import FILE_COLS, bucket_expr
+
+    table = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=4)
+    b0 = changes(spark, 1000, n_conv=10, turns_per_conv=10, partitions=2)
+    replay(table, b0, batch_id="b0")
+    v1 = table.current_version()
+    h1 = content_hash(table.read())
+
+    batch = changes(
+        spark, 500, n_conv=10, turns_per_conv=10, lsn_start=1000, partitions=2
+    )
+    collapsed = collapse_latest_salted(batch, n_salts=4).withColumn(
+        "_bucket", bucket_expr(4)
+    )
+    # crash #1: files written, no manifest/pointer — nothing visible
+    table._write_commit_files(collapsed.select(*FILE_COLS, "_bucket"))
+    assert table.current_version() == v1
+    assert content_hash(table.read()) == h1
+
+    # crash #2: manifest written for v+1, pointer never flipped
+    orphan = table.manifest()
+    orphan["version"] = v1 + 1
+    table._atomic_write_json(table._manifest_path(v1 + 1), orphan)
+    assert table.current_version() == v1
+    assert content_hash(table.read()) == h1
+
+    # recovery: the next real merge takes version v+1, overwriting the
+    # orphan manifest atomically, and the final state is exact
+    apply_batch(table, batch, "b1", n_salts=4)
+    assert table.current_version() == v1 + 1
+    assert states_equal(
+        table.read(), expected_state(b0.unionByName(batch))
+    )
