@@ -107,6 +107,52 @@ def bench_cdc(spark, n_events: int, n_buckets: int = 32, partitions: int = 64,
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_cdc_incremental(
+    spark, base_events: int = 2_000_000, n_batches: int = 5,
+    batch_events: int = 200_000, n_buckets: int = 32, partitions: int = 64,
+    mode: str = "cow",
+):
+    """Micro-batch ingest shape: bootstrap a table, then time N
+    incremental merge_apply batches.  mode='cow' rewrites affected
+    buckets per batch; mode='mor' appends winner deltas (O(batch))."""
+    from schema_matching_spark.operators.apply import apply_batch
+    from schema_matching_spark.plans.table import SnapshotTable
+    from schema_matching_spark.sources.generator import changes
+
+    root = tempfile.mkdtemp(prefix="bench_inc_", dir=_scratch_base())
+    try:
+        n_conv = max(base_events // 200, 100)
+        table = SnapshotTable(
+            spark, os.path.join(root, "tbl"), n_buckets=n_buckets, mode=mode
+        )
+        apply_batch(
+            table,
+            changes(spark, base_events, n_conv=n_conv, turns_per_conv=50,
+                    partitions=partitions),
+            "bootstrap",
+        )
+        t0 = time.time()
+        for b in range(n_batches):
+            batch = changes(
+                spark, batch_events, n_conv=n_conv, turns_per_conv=50,
+                lsn_start=base_events + b * batch_events, partitions=16,
+            )
+            apply_batch(table, batch, f"inc-{b}")
+        inc_sec = time.time() - t0
+        total = n_batches * batch_events
+        return {
+            "mode": mode,
+            "base_events": base_events,
+            "batches": n_batches,
+            "batch_events": batch_events,
+            "incremental_sec": round(inc_sec, 3),
+            "incremental_events_per_sec": round(total / inc_sec, 1),
+            "final_version": table.current_version(),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -136,6 +182,10 @@ def main() -> None:
     # before the headline queries touch the heap/page pool.
     timings: dict[str, float] = {}
     cdc = bench_cdc(spark, args.events, partitions=max(cpus * 2, 16))
+    inc = bench_cdc_incremental(spark, mode="cow")
+    inc_mor = bench_cdc_incremental(spark, mode="mor")
+    timings["cdc_incremental_cow"] = inc["incremental_sec"]
+    timings["cdc_incremental_mor"] = inc_mor["incremental_sec"]
 
     if not args.cdc_only:
         import __spark_entry__ as E
@@ -160,6 +210,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cdc": cdc,
+        "cdc_incremental": inc,
+        "cdc_incremental_mor": inc_mor,
     }
     print(json.dumps(out))
 

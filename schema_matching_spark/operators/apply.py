@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame
 
 from ..plans.table import SnapshotTable
 from .dedup import dedup_batch
-from .salting import collapse_latest_salted
 
 
 def apply_batch(
@@ -27,16 +26,21 @@ def apply_batch(
 ) -> int:
     """Apply one bounded slice of the change log; returns new version.
 
+    The latest-wins collapse happens inside ``merge_apply`` (one salted
+    reduce against the current bucket rows — collapsing the batch
+    separately first would pay the same shuffles twice).
+
     Dedup note: an explicit dropDuplicates shuffle is redundant here —
     duplicate (lsn, key) deliveries carry identical payloads, so the
-    salted max_by collapse absorbs them (same lsn ⇒ same winner), and
-    the table's lsn-LWW merge absorbs cross-batch redeliveries.  Pass
-    ``dedup=True`` only when exact pre-collapse row counters are needed.
+    merge's winner join-back + distinct absorbs them, and the table's
+    lsn-LWW merge absorbs cross-batch redeliveries.  Pass
+    ``dedup=True`` only when exact pre-merge row counters are needed.
     """
     if dedup:
         raw_changes = dedup_batch(raw_changes)
-    collapsed = collapse_latest_salted(raw_changes, n_salts=n_salts)
-    return table.merge_apply(collapsed, batch_id, extra_lineage=extra_lineage)
+    return table.merge_apply(
+        raw_changes, batch_id, extra_lineage=extra_lineage, n_salts=n_salts
+    )
 
 
 def replay(

@@ -71,6 +71,30 @@ def bucket_expr(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
 
 
+def lww_reduce(rows: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Last-write-wins reduce over FILE_COLS rows: per (conv_id,
+    turn_idx) keep the highest-lsn row (tombstones included — they keep
+    guarding their key).  Shared by the COW merge, the MOR read path,
+    and compact().
+
+    Physical shape (rationale in operators/salting.py): salted narrow
+    ``max(lsn)`` HashAggregate → shuffled-hash join-back for payloads →
+    buffer-free ``distinct`` absorbing byte-identical duplicate
+    deliveries of a winning event."""
+    salted = rows.withColumn("_salt", F.pmod(F.xxhash64("lsn"), F.lit(n_salts)))
+    win_lsn = (
+        salted.groupBy(*KEY_COLS, "_salt")
+        .agg(F.max("lsn").alias("lsn"))
+        .groupBy(*KEY_COLS)
+        .agg(F.max("lsn").alias("lsn"))
+    )
+    return (
+        rows.join(win_lsn.hint("shuffle_hash"), [*KEY_COLS, "lsn"], "inner")
+        .select(*FILE_COLS)
+        .distinct()
+    )
+
+
 class SnapshotTable:
     """A bucketed, snapshot-versioned transcript table.
 
@@ -82,12 +106,44 @@ class SnapshotTable:
           _current.json          -> {"version": N}
     """
 
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 32):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 32,
+        mode: str = "cow",
+    ):
+        """``mode``:
+
+        * ``"cow"`` (copy-on-write, default) — every merge rewrites the
+          affected buckets to ≤1 row per key; reads are plain scans.
+          Right when batches are large relative to the table or reads
+          dominate.
+        * ``"mor"`` (merge-on-read) — merges append per-bucket winner
+          delta files without touching current data; reads reduce
+          last-write-wins at scan time; ``compact()`` folds deltas
+          back to ≤1 row per key.  Right for frequent small
+          micro-batches, where COW would rewrite every touched bucket
+          per trigger (measured 2-5 s/batch floor on this box).
+
+        The mode is persisted in the manifest — reopening an existing
+        table keeps its semantics regardless of the argument.
+        """
+        assert mode in ("cow", "mor"), mode
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        self._mode = mode
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        existing = self.manifest()
+        if existing["version"] > 0:
+            self._mode = existing.get("mode", "cow")
+            self.n_buckets = existing.get("n_buckets", n_buckets)
+
+    @property
+    def mode(self) -> str:
+        return self._mode
 
     # ---------------------------------------------------------------- io
 
@@ -111,6 +167,7 @@ class SnapshotTable:
             return {
                 "version": 0,
                 "n_buckets": self.n_buckets,
+                "mode": getattr(self, "_mode", "cow"),
                 "files": [],
                 "applied_batches": {},
                 "lineage": [],
@@ -136,12 +193,13 @@ class SnapshotTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """Current (or time-travel) table state, logical columns only
-        (tombstones filtered)."""
-        return (
-            self._read_files([f["path"] for f in self.manifest(version)["files"]])
-            .where(F.col("op") != "D")
-            .select(*TRANSCRIPT_COLS)
-        )
+        (tombstones filtered).  MOR tables reduce last-write-wins at
+        scan time (delta files may hold newer versions of a key)."""
+        m = self.manifest(version)
+        rows = self._read_files([f["path"] for f in m["files"]])
+        if m.get("mode", "cow") == "mor":
+            rows = lww_reduce(rows)
+        return rows.where(F.col("op") != "D").select(*TRANSCRIPT_COLS)
 
     def _read_files(self, paths: list[str]) -> DataFrame:
         """Raw file rows (transcript cols + lsn)."""
@@ -220,6 +278,7 @@ class SnapshotTable:
                 "version": version,
                 "parent": cur["version"],
                 "n_buckets": self.n_buckets,
+                "mode": self._mode,
                 "files": entries,
                 "applied_batches": ledger,
                 "lineage": cur["lineage"]
@@ -244,6 +303,9 @@ class SnapshotTable:
         the pointer)."""
         cur = self.manifest()
         rows = self._read_files([f["path"] for f in cur["files"]])
+        # fold MOR deltas (and absorb any duplicate rows) back to ≤1 row
+        # per key — a no-op reduce on a clean COW layout
+        rows = lww_reduce(rows)
         if tombstone_horizon_lsn is not None:
             rows = rows.where(
                 (F.col("op") != "D") | (F.col("lsn") >= tombstone_horizon_lsn)
@@ -257,6 +319,7 @@ class SnapshotTable:
                 "version": version,
                 "parent": cur["version"],
                 "n_buckets": self.n_buckets,
+                "mode": self._mode,
                 "files": entries,
                 "applied_batches": dict(cur["applied_batches"]),
                 "lineage": cur["lineage"]
@@ -273,13 +336,15 @@ class SnapshotTable:
 
     def merge_apply(
         self,
-        collapsed: DataFrame,
+        changes: DataFrame,
         batch_id: str | int,
         extra_lineage: dict | None = None,
+        n_salts: int = 16,
     ) -> int:
-        """Exactly-once MERGE of a *collapsed* change set (one row per
-        (conv_id, turn_idx), carrying the winning ``op``/payload/``lsn``
-        — see operators/dedup.collapse_latest).
+        """Exactly-once MERGE of a change set — raw or pre-collapsed;
+        the latest-wins reduce happens HERE, once, against the current
+        bucket rows (pre-collapsing the batch separately would pay the
+        same shuffles twice — measured 2-3x on micro-batch ingest).
 
         Semantics (north_star): per key, the highest-lsn event ever
         applied wins; a winning op='D' removes the key; replay of an
@@ -287,56 +352,72 @@ class SnapshotTable:
         beyond the dedup watermark, in any later batch) is a no-op for
         that key.
 
-        Physical plan: prune to affected buckets (file-level, via the
-        manifest) → union current bucket rows (≤1 per key, op='I') with
-        the batch (≤1 per key) → max_by(lsn) hash reduce (≤2 rows per
-        key: skew-free by construction) → rewrite only those buckets.
+        Physical plan (rationale in operators/salting.py — payload-free
+        aggregation, shuffled-hash join-back, buffer-free distinct):
+        prune to affected buckets (file-level, via the manifest) →
+        union current bucket rows with the raw batch → salted narrow
+        ``max(lsn)`` winner search → join-back for payloads → distinct
+        (absorbs duplicate deliveries of a winning event AND a batch
+        row that ties the stored row on lsn — idempotent re-apply) →
+        rewrite only affected buckets.  Losers vanish; winners keep op
+        — op='D' rows persist as tombstones so the delete's lsn keeps
+        guarding the key.
         """
+        from ..operators.salting import collapse_latest_salted
+
         cur = self.manifest()
         if str(batch_id) in cur["applied_batches"]:
             return cur["version"]  # idempotent replay
 
-        collapsed = collapsed.withColumn("_bucket", bucket_expr(self.n_buckets))
         if not cur["files"]:
             # Bootstrap fast path (empty table / full-log replay): the
-            # collapsed batch already holds ≤1 row per key, so there is
-            # nothing to reduce against — skip the persist, the
-            # affected-bucket collect, and the union+re-reduce shuffle
-            # entirely and stream the collapse output straight into the
-            # bucketed writer.  This is the CDC-replay hot path.
-            new_entries = self._write_commit_files(collapsed.select(*FILE_COLS, "_bucket"))
+            # collapse IS the whole merge — reduce the raw log and
+            # stream it straight into the bucketed writer (no persist,
+            # no affected-bucket collect, no union).
+            data = collapse_latest_salted(changes, n_salts=n_salts).withColumn(
+                "_bucket", bucket_expr(self.n_buckets)
+            )
+            new_entries = self._write_commit_files(data.select(*FILE_COLS, "_bucket"))
             affected = {e["bucket"] for e in new_entries}
             return self._commit_merge(
                 cur, [], new_entries, batch_id, affected, extra_lineage
             )
 
-        collapsed.persist()
+        if self._mode == "mor":
+            # Merge-on-read: append the batch's per-key winners as delta
+            # files; current data is untouched (reads reduce, compact()
+            # folds).  A micro-batch commit costs O(batch), never
+            # O(affected buckets) — the COW floor of rewriting every
+            # touched bucket per trigger disappears.
+            data = collapse_latest_salted(changes, n_salts=n_salts).withColumn(
+                "_bucket", bucket_expr(self.n_buckets)
+            )
+            new_entries = self._write_commit_files(
+                data.select(*FILE_COLS, "_bucket"), cluster=True
+            )
+            affected = {e["bucket"] for e in new_entries}
+            return self._commit_merge(
+                cur, list(cur["files"]), new_entries, batch_id, affected,
+                extra_lineage,
+            )
+
+        batch_rows = changes.select(*FILE_COLS)
+        batch_rows.persist()
         try:
             affected = {
-                r["_bucket"] for r in collapsed.select("_bucket").distinct().collect()
+                r["_bucket"]
+                for r in batch_rows.select(
+                    bucket_expr(self.n_buckets).alias("_bucket")
+                )
+                .distinct()
+                .collect()
             }
             keep = [f for f in cur["files"] if f["bucket"] not in affected]
             touch_paths = [f["path"] for f in cur["files"] if f["bucket"] in affected]
 
-            current_rows = self._read_files(touch_paths)
-            batch_rows = collapsed.select(*FILE_COLS)
-            rows = current_rows.unionByName(batch_rows)
-            # Latest-wins reduce via narrow max(lsn) + join-back (same
-            # rationale as operators/salting.collapse_latest_salted: a
-            # payload-carrying max_by plans as ObjectHashAggregate and
-            # sort-falls-back past 128 groups/partition; max(long) stays
-            # whole-stage-codegen HashAggregate).  ≤2 rows per key reach
-            # this reduce, so the join-back is cheap; the distinct
-            # absorbs a batch row that ties the stored row on lsn
-            # (idempotent re-apply of an already-applied event).
-            # Losers vanish; winners keep op — op='D' rows persist as
-            # tombstones so the delete's lsn keeps guarding the key.
-            win_lsn = rows.groupBy(*KEY_COLS).agg(F.max("lsn").alias("lsn"))
-            new_data = (
-                rows.join(win_lsn.hint("shuffle_hash"), [*KEY_COLS, "lsn"], "inner")
-                .select(*FILE_COLS)
-                .distinct()
-                .withColumn("_bucket", bucket_expr(self.n_buckets))
+            rows = self._read_files(touch_paths).unionByName(batch_rows)
+            new_data = lww_reduce(rows, n_salts=n_salts).withColumn(
+                "_bucket", bucket_expr(self.n_buckets)
             )
             # incremental batches are small and frequent: the extra
             # repartition is cheap and keeps one file set per bucket
@@ -346,7 +427,7 @@ class SnapshotTable:
                 cur, keep, new_entries, batch_id, affected, extra_lineage
             )
         finally:
-            collapsed.unpersist()
+            batch_rows.unpersist()
 
     def _commit_merge(
         self,
@@ -374,6 +455,7 @@ class SnapshotTable:
                 "version": version,
                 "parent": cur["version"],
                 "n_buckets": self.n_buckets,
+                "mode": self._mode,
                 "files": keep + new_entries,
                 "applied_batches": ledger,
                 "lineage": cur["lineage"] + [lineage_entry],

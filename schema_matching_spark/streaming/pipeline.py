@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import dedup_stream
-from ..operators.salting import collapse_latest_salted
 from ..plans.table import SnapshotTable
 from ..sources.wal import read_stream
 
@@ -65,10 +64,10 @@ def start_cdc_stream(
         ).collect()[0]
         if stats["rows"] == 0:
             return
-        collapsed = collapse_latest_salted(batch_df, n_salts=n_salts)
         table.merge_apply(
-            collapsed,
+            batch_df,
             batch_id,
+            n_salts=n_salts,
             extra_lineage={
                 "input_rows": stats["rows"],
                 "lsn_range": [stats["lsn_lo"], stats["lsn_hi"]],

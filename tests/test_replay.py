@@ -181,3 +181,44 @@ def test_crash_safety_of_commit_protocol(spark, tmp_path):
     assert states_equal(
         table.read(), expected_state(b0.unionByName(batch))
     )
+
+
+def test_merge_on_read_mode(spark, tmp_path):
+    """MOR tables: merges append winner deltas; reads reduce LWW at
+    scan; double-apply is a no-op; compact folds to the same state
+    with fewer files; mode survives reopen."""
+    table = SnapshotTable(spark, str(tmp_path / "mor"), n_buckets=4, mode="mor")
+    b0 = changes(spark, 2000, n_conv=15, turns_per_conv=10, partitions=2)
+    apply_batch(table, b0, "b0", n_salts=4)
+    batches = [b0]
+    for i in range(1, 4):
+        b = changes(
+            spark, 400, n_conv=15, turns_per_conv=10,
+            lsn_start=2000 + i * 400, partitions=2,
+        )
+        batches.append(b)
+        apply_batch(table, b, f"b{i}", n_salts=4)
+
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.unionByName(b)
+    assert states_equal(table.read(), expected_state(full))
+
+    # exactly-once: replaying an applied batch_id changes nothing
+    v = table.current_version()
+    apply_batch(table, batches[1], "b1", n_salts=4)
+    assert table.current_version() == v
+
+    # stale-lsn redelivery in a NEW batch id is a per-key no-op
+    apply_batch(table, batches[1], "b1-redelivered", n_salts=4)
+    assert states_equal(table.read(), expected_state(full))
+
+    n_files_before = len(table.manifest()["files"])
+    table.compact()
+    assert len(table.manifest()["files"]) < n_files_before
+    assert states_equal(table.read(), expected_state(full))
+
+    # reopening without the mode argument keeps MOR semantics
+    reopened = SnapshotTable(spark, str(tmp_path / "mor"), n_buckets=4)
+    assert reopened.mode == "mor"
+    assert states_equal(reopened.read(), expected_state(full))
