@@ -53,3 +53,32 @@ def test_good_match_preferred_over_unmatched():
     dist = np.array([[0.05]])
     m = best_mapping(["s"], ["t"], dist, unmatched_cost=0.35)
     assert m["s"] == "t"
+
+
+def test_property_random_rectangular_matches_bruteforce():
+    """Property test (hypothesis-style, deterministic seeds): on random
+    rectangular matrices with random unmatched costs, the Hungarian
+    solution's total cost equals exhaustive enumeration."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        ks=st.integers(1, 4),
+        kt=st.integers(1, 4),
+        seed=st.integers(0, 10_000),
+        unmatched=st.floats(0.05, 0.9),
+    )
+    def check(ks, kt, seed, unmatched):
+        rng = _det_rng(seed)
+        dist = rng.random((ks, kt))
+        src = [f"s{i}" for i in range(ks)]
+        tgt = [f"t{j}" for j in range(kt)]
+        mapping = best_mapping(src, tgt, dist, unmatched)
+        got = mapping_cost(mapping, src, tgt, dist, unmatched)
+        best = brute_force_mapping(src, tgt, dist, unmatched)
+        assert got == pytest.approx(best)
+        # injectivity
+        taken = [t for t in mapping.values() if t is not None]
+        assert len(taken) == len(set(taken))
+
+    check()

@@ -79,3 +79,27 @@ def test_wal_roundtrip(spark, log, tmp_path):
     back = read_batch(spark, wal)
     assert back.count() == N
     assert states_equal(expected_state(back), expected_state(log))
+
+
+def test_redelivery_beyond_watermark_is_absorbed_by_lww(spark, tmp_path):
+    """Duplicates straggling in beyond the dedup watermark pass the
+    stateful dedup but are per-key no-ops at the table (stored-lsn
+    last-write-wins) — the documented two-layer exactly-once design."""
+    import pyspark.sql.functions as F
+
+    from schema_matching_spark.operators.verify import states_equal
+
+    log = changes(spark, 3000, n_conv=20, turns_per_conv=10, partitions=2)
+    wal = str(tmp_path / "wal")
+    # segment 0: the log; segment 1: a verbatim re-delivery of the first
+    # 1000 events with event-times far behind the watermark by then
+    log.coalesce(1).write.parquet(os.path.join(wal, "seg-000"))
+    log.where(F.col("lsn") < 1000).coalesce(1).write.parquet(
+        os.path.join(wal, "seg-001")
+    )
+    table = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=4)
+    run_stream_to_completion(
+        spark, wal, table, str(tmp_path / "cp"),
+        watermark="1 second", max_files_per_trigger=1, n_salts=4,
+    )
+    assert states_equal(table.read(), expected_state(log))
