@@ -103,3 +103,39 @@ def test_redelivery_beyond_watermark_is_absorbed_by_lww(spark, tmp_path):
         watermark="1 second", max_files_per_trigger=1, n_salts=4,
     )
     assert states_equal(table.read(), expected_state(log))
+
+
+def test_progress_listener_ledger(spark, tmp_path):
+    """B8 observability: every micro-batch lands one progress line in
+    the JSON ledger (rows, durations, state metrics)."""
+    import json
+
+    from schema_matching_spark.streaming.metrics import JsonProgressListener
+
+    ledger = str(tmp_path / "metrics" / "progress.jsonl")
+    listener = JsonProgressListener(ledger)
+    spark.streams.addListener(listener)
+    try:
+        log = changes(spark, 2000, n_conv=10, turns_per_conv=10, partitions=2)
+        wal = str(tmp_path / "wal")
+        write_segments(log, wal, 3)
+        table = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=4)
+        run_stream_to_completion(
+            spark, wal, table, str(tmp_path / "cp"),
+            max_files_per_trigger=1, n_salts=4,
+        )
+        # listener callbacks are async — wait for the ledger to drain
+        import time as _t
+        events = []
+        for _ in range(30):
+            if os.path.exists(ledger):
+                events = [json.loads(l) for l in open(ledger)]
+                if sum(e["event"] == "progress" for e in events) >= 3:
+                    break
+            _t.sleep(1)
+    finally:
+        spark.streams.removeListener(listener)
+    progress = [e for e in events if e["event"] == "progress"]
+    assert len(progress) >= 3
+    assert sum(p["numInputRows"] for p in progress) >= 2000
+    assert any(e["event"] == "started" for e in events)
