@@ -1,0 +1,165 @@
+"""Python UDF surface demonstrations, each oracle-checked (SURVEY.md
+§2.C "UDF / UDAF / UDTF surface"; input_hint mandate: pandas/Arrow
+only, no per-row Python).
+
+* grouped-aggregate ``pandas_udf`` (vectorized UDAF over Arrow batches)
+* grouped-map ``applyInPandas`` (per-group numpy transform)
+* Python UDTF (table function) — the one row-expanding Python surface,
+  used off the hot path by design
+
+Each has a plain-SQL DuckDB oracle, so the Python implementations are
+verified against relational semantics, not just smoke-tested.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_pandas_udaf_weighted(spark, sf_dir):
+    """Grouped-agg pandas_udf: quantity-weighted average extended price
+    per return flag — one Arrow batch per group partition, numpy math,
+    no per-row Python."""
+
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    @pandas_udf("long")
+    def n_rows(qty: pd.Series) -> int:
+        # pandas grouped-agg UDFs cannot mix with JVM aggregates in one
+        # agg() (INVALID_PANDAS_UDF_PLACEMENT) — count is a UDAF too
+        return int(len(qty))
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                weighted_avg(F.col("l_extendedprice"), F.col("l_quantity")), 4
+            ).alias("w_avg_price"),
+            n_rows(F.col("l_quantity")).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_PANDAS_UDAF = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+           AS w_avg_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_grouped_map_zscore(spark, sf_dir):
+    """Grouped-map applyInPandas: z-score customer balances within each
+    nation (vectorized per-group numpy), then aggregate the extremes —
+    the 'custom per-group transform Spark lacks' pattern."""
+    cust = _t(spark, sf_dir, "customer")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["c_acctbal"].mean()
+        sd = pdf["c_acctbal"].std(ddof=1)
+        pdf = pdf.assign(z=(pdf["c_acctbal"] - mu) / sd if sd > 0 else 0.0)
+        return pdf[["c_nationkey", "c_custkey", "z"]]
+
+    scored = cust.groupBy("c_nationkey").applyInPandas(
+        zscore, schema="c_nationkey int, c_custkey long, z double"
+    )
+    return (
+        scored.groupBy("c_nationkey")
+        .agg(
+            F.round(F.max("z"), 4).alias("max_z"),
+            F.round(F.min("z"), 4).alias("min_z"),
+            F.round(F.avg("z"), 4).alias("mean_z"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_GROUPED_MAP_ZSCORE = """
+WITH scored AS (
+  SELECT c_nationkey,
+         (c_acctbal - avg(c_acctbal) OVER w) / stddev_samp(c_acctbal) OVER w AS z
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey)
+)
+SELECT c_nationkey,
+       round(max(z), 4) AS max_z,
+       round(min(z), 4) AS min_z,
+       round(avg(z), 4) AS mean_z,
+       count(*) AS n
+FROM scored
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def q_udtf_bigrams(spark, sf_dir):
+    """Python UDTF: expand each document into word-bigram rows, then
+    count the globally most frequent bigrams.  UDTFs are the
+    off-hot-path Python surface (per-row fan-out); the relational
+    reduction around them stays JVM-side."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string")
+    class Bigrams:
+        def eval(self, text: str):
+            # split(" ") (not split()) — keeps empty tokens exactly like
+            # the oracle's regexp_split_to_array(text, ' ')
+            toks = text.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                yield (f"{a} {b}",)
+
+    spark.udtf.register("doc_bigrams", Bigrams)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT b.bigram, count(*) AS n
+        FROM _udtf_docs d, LATERAL doc_bigrams(d.text) b
+        GROUP BY b.bigram
+        HAVING count(*) >= 20
+        ORDER BY n DESC, bigram
+        LIMIT 50
+        """
+    )
+
+
+SQL_UDTF_BIGRAMS = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS t FROM documents
+), bigrams AS (
+  SELECT t[CAST(u AS INT)] || ' ' || t[CAST(u AS INT) + 1] AS bigram
+  FROM (SELECT t, unnest(range(1, len(t))) AS u FROM toks)
+)
+SELECT bigram, count(*) AS n
+FROM bigrams
+GROUP BY bigram
+HAVING count(*) >= 20
+ORDER BY n DESC, bigram
+LIMIT 50
+"""
+
+
+QUERIES = {
+    "pandas_udaf_weighted": q_pandas_udaf_weighted,
+    "grouped_map_zscore": q_grouped_map_zscore,
+    "udtf_bigrams": q_udtf_bigrams,
+}
+
+ORACLE = {
+    "pandas_udaf_weighted": SQL_PANDAS_UDAF,
+    "grouped_map_zscore": SQL_GROUPED_MAP_ZSCORE,
+    "udtf_bigrams": SQL_UDTF_BIGRAMS,
+}

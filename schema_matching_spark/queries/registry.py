@@ -7,6 +7,7 @@ from . import (
     cdc,
     dataprep,
     multimodal_q,
+    python_udfs,
     relational,
     relational2,
     relational3,
@@ -25,6 +26,7 @@ _MODULES = [
     similarity,
     multimodal_q,
     sources_q,
+    python_udfs,
 ]
 
 
