@@ -239,6 +239,58 @@ def lsh_band_pairs(
     )
 
 
+def shingle_hash_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Distinct shingle-hash rows ``(id, h)`` per document — the
+    relational (fully codegen'd) representation of each document's
+    shingle SET: offsets explode to scalar rows, substring+xxhash64
+    inline, narrow dropDuplicates (no payload in any buffer)."""
+    t = F.col(text_col)
+    offsets = F.sequence(F.lit(1), F.greatest(F.length(t) - k + 1, F.lit(1)))
+    ex = df.select(F.col(id_col), t.alias("_t"), F.explode(offsets).alias("_i"))
+    return ex.select(
+        id_col,
+        F.xxhash64(F.col("_t").substr(F.col("_i"), F.lit(k))).alias("h"),
+    ).dropDuplicates([id_col, "h"])
+
+
+def jaccard_pairs(shr: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs, relationally: join each pair
+    with both documents' shingle-hash rows, count matching hashes,
+    |A∩B| / (|A|+|B|-|A∩B|).  Everything is narrow-long shuffles under
+    whole-stage codegen — no per-pair array intersection, no shingle
+    arrays materialized (the interpreted array path cost ~2× the whole
+    LSH stage at corpus scale).  Pairs with an empty intersection drop
+    out (their Jaccard is 0 — below any useful dedup threshold).
+
+    ``shr``: (doc_id, h) distinct rows; ``cand``: (id_a, id_b)."""
+    sizes = shr.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shr.select(F.col("doc_id").alias("id_a"), "h")
+    b = shr.select(F.col("doc_id").alias("id_b"), "h")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("n", "_na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("n", "_nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                6,
+            ).alias("jac"),
+        )
+    )
+
+
 def jaccard(set_a: Column, set_b: Column) -> Column:
     """Exact Jaccard similarity of two (distinct-element) arrays."""
     inter = F.size(F.array_intersect(set_a, set_b))

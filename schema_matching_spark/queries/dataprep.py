@@ -257,13 +257,8 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     corpus = _with_planted_near_dups(_docs(spark, sf_dir))
     sigs = T.minhash_signatures_text(corpus, "doc_id", "text", k=5, n_hashes=32)
     cand = T.lsh_band_pairs(sigs, "doc_id", "sig", n_bands=8, rows_per_band=4)
-    sh = corpus.select("doc_id", T.char_shingles("text", 5).alias("sh"))
-    verified = (
-        cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn("jac", T.jaccard(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("jac") >= 0.6)
-    )
+    shr = T.shingle_hash_rows(corpus, "doc_id", "text", k=5)
+    verified = T.jaccard_pairs(shr, cand).where(F.col("jac") >= 0.6)
     return verified.select(
         F.count("*").alias("n_confirmed_pairs"),
         F.sum(F.when(F.col("id_b") == F.col("id_a") + 200000, 1).otherwise(0)).alias(
