@@ -125,3 +125,49 @@ def test_merge_apply_broadcasts_small_change_sets(spark, tmp_path):
     m = table.manifest()
     assert m["lineage"][-1]["op"] == "merge"
     assert len(m["lineage"][-1]["affected_buckets"]) <= 4
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Native bucketed layout (SURVEY.md §4.2 'bucketing for co-located
+    joins'): both fact tables bucketed+sorted on the join key join with
+    ZERO Exchange operators — the co-location strategy that removes the
+    dominant shuffle of repeated big-fact joins at 100 TB."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    (
+        orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("b_orders")
+    )
+    (
+        li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("b_lineitem")
+    )
+    try:
+        joined = (
+            spark.table("b_lineitem")
+            .hint("merge")  # suppress broadcast: the point is co-location
+            .join(
+                spark.table("b_orders").hint("merge"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        # bucketed scans feed the join pre-partitioned: the ONLY
+        # Exchange in the plan tree is the final groupBy's
+        tree = plan.split("(1) Scan")[0]
+        assert tree.count("Exchange") == 1, tree
+        # correctness identical to the unbucketed join
+        expect = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
