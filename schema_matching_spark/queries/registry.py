@@ -12,6 +12,7 @@ from . import (
     relational2,
     relational3,
     relational4,
+    relational5,
     similarity,
     sources_q,
 )
@@ -21,6 +22,7 @@ _MODULES = [
     relational2,
     relational3,
     relational4,
+    relational5,
     cdc,
     dataprep,
     similarity,

@@ -1,0 +1,171 @@
+"""Driver-facing oracle query pack, batch 5 — heavier TPC-H-style
+analytics: HAVING over join aggregates, scalar-subquery thresholds,
+max-over-aggregate selection, anti-join cohorts.  Same contract as
+relational.py (identically-aliased DuckDB oracles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 style: customers with orders above a bulk-quantity
+    threshold (HAVING over a join aggregate), top 10 by value."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("odate"),
+            F.round("o_totalprice", 2).alias("price"),
+            F.round("sum_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("price"), "o_orderkey")
+        .limit(10)
+    )
+
+
+SQL_LARGE_ORDERS = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate AS odate,
+       round(o_totalprice, 2) AS price, round(sum_qty, 2) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY price DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_top_revenue_suppliers(spark, sf_dir):
+    """TPC-H Q15 style: suppliers achieving the maximum quarterly
+    revenue — aggregate, take max via a scalar subquery, select the
+    achievers (handles ties exactly like the SQL form)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_rev")
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("m"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_rev == max_rev.m)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TOP_REVENUE_SUPPLIERS = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 flavor: above-average-balance customers with no orders
+    after a cutoff — scalar-subquery threshold + left-anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    ).collect()[0]["a"]
+    recent = o.where(F.col("o_orderdate") >= F.lit("2000-01-01")).select(
+        "o_custkey"
+    )
+    return (
+        c.where(F.col("c_acctbal") > avg_bal)
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_idle_rich"),
+            F.round(F.sum("c_acctbal"), 2).alias("idle_capital"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_IDLE_RICH = """
+SELECT c_mktsegment, count(*) AS n_idle_rich,
+       round(sum(c_acctbal), 2) AS idle_capital
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_order_value_distribution(spark, sf_dir):
+    """Histogram via width_bucket-style banding: order values bucketed
+    into 10k-wide bands, count + share per band (the data-profiling
+    shape every ingest pipeline needs)."""
+    o = _t(spark, sf_dir, "orders")
+    band = (F.floor(F.col("o_totalprice") / 100000) * 100000).cast("long")
+    total = o.count()
+    return (
+        o.select(band.alias("band"))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.count("*") / F.lit(float(total)), 6).alias("share"),
+        )
+        .orderBy("band")
+    )
+
+
+SQL_ORDER_VALUE_DISTRIBUTION = """
+SELECT CAST(floor(o_totalprice / 100000) * 100000 AS BIGINT) AS band,
+       count(*) AS n,
+       round(count(*) / (SELECT count(*)::DOUBLE FROM orders), 6) AS share
+FROM orders
+GROUP BY 1
+ORDER BY band
+"""
+
+
+QUERIES = {
+    "large_orders": q_large_orders,
+    "top_revenue_suppliers": q_top_revenue_suppliers,
+    "idle_rich_customers": q_idle_rich_customers,
+    "order_value_distribution": q_order_value_distribution,
+}
+
+ORACLE = {
+    "large_orders": SQL_LARGE_ORDERS,
+    "top_revenue_suppliers": SQL_TOP_REVENUE_SUPPLIERS,
+    "idle_rich_customers": SQL_IDLE_RICH,
+    "order_value_distribution": SQL_ORDER_VALUE_DISTRIBUTION,
+}
