@@ -71,6 +71,59 @@ def bucket_expr(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
 
 
+#: Manifest growth bounds.  Round 1 embedded the FULL lineage list and
+#: applied-batch ledger in every manifest — O(commits²) bytes written
+#: over a long stream.  Both are now rolling windows:
+#:
+#: * lineage keeps the newest LINEAGE_KEEP entries plus a running count
+#:   of truncated ones (older history lives in the older manifest files
+#:   until expire_snapshots reclaims them);
+#: * applied_batches keeps the newest APPLIED_KEEP entries; numeric
+#:   batch ids evicted from the window roll up into
+#:   ``applied_evicted_high_water`` — foreachBatch epoch ids are
+#:   monotonic per query, so "numeric id ≤ evicted high water" is an
+#:   exact applied-check for any id older than the whole window, while
+#:   ids inside the window (including out-of-order test ids) still hit
+#:   the exact dict.  Non-numeric ids get an APPLIED_KEEP-commit dedup
+#:   window, far beyond any real checkpoint-recovery replay depth.
+LINEAGE_KEEP = 64
+APPLIED_KEEP = 256
+
+
+def _roll_lineage(cur: dict, entry: dict) -> tuple[list, int]:
+    lin = cur["lineage"] + [entry]
+    dropped = max(0, len(lin) - LINEAGE_KEEP)
+    return lin[dropped:], cur.get("lineage_truncated", 0) + dropped
+
+
+def _roll_ledger(cur: dict, batch_id, version: int) -> tuple[dict, int | None]:
+    ledger = dict(cur["applied_batches"])
+    hw = cur.get("applied_evicted_high_water")
+    if batch_id is not None:
+        ledger[str(batch_id)] = version
+    if len(ledger) > APPLIED_KEEP:
+        for k in sorted(ledger, key=ledger.get)[: len(ledger) - APPLIED_KEEP]:
+            try:
+                b = int(k)
+                hw = b if hw is None else max(hw, b)
+            except ValueError:
+                pass
+            del ledger[k]
+    return ledger, hw
+
+
+def _batch_applied(cur: dict, batch_id) -> bool:
+    if str(batch_id) in cur["applied_batches"]:
+        return True
+    hw = cur.get("applied_evicted_high_water")
+    if hw is not None:
+        try:
+            return int(str(batch_id)) <= hw
+        except ValueError:
+            return False
+    return False
+
+
 def lww_reduce(rows: DataFrame, n_salts: int = 16) -> DataFrame:
     """Last-write-wins reduce over FILE_COLS rows: per (conv_id,
     turn_idx) keep the highest-lsn row (tombstones included — they keep
@@ -79,8 +132,14 @@ def lww_reduce(rows: DataFrame, n_salts: int = 16) -> DataFrame:
 
     Physical shape (rationale in operators/salting.py): salted narrow
     ``max(lsn)`` HashAggregate → shuffled-hash join-back for payloads →
-    buffer-free ``distinct`` absorbing byte-identical duplicate
-    deliveries of a winning event."""
+    a (key, lsn)-keyed HashAggregate absorbing duplicate deliveries of
+    the winning event.
+
+    Dedup contract: keyed on (conv_id, turn_idx, lsn) — NOT the full
+    row — so even if a redelivered winning event arrives with payload
+    jitter (a non-conforming WAL), the reduce still emits exactly one
+    row per key (an arbitrary-but-single winner) instead of silently
+    duplicating the key the way a full-row ``distinct`` would."""
     salted = rows.withColumn("_salt", F.pmod(F.xxhash64("lsn"), F.lit(n_salts)))
     win_lsn = (
         salted.groupBy(*KEY_COLS, "_salt")
@@ -88,10 +147,12 @@ def lww_reduce(rows: DataFrame, n_salts: int = 16) -> DataFrame:
         .groupBy(*KEY_COLS)
         .agg(F.max("lsn").alias("lsn"))
     )
+    payload = [c for c in FILE_COLS if c not in (*KEY_COLS, "lsn")]
     return (
         rows.join(win_lsn.hint("shuffle_hash"), [*KEY_COLS, "lsn"], "inner")
+        .groupBy(*KEY_COLS, "lsn")
+        .agg(*[F.first(c).alias(c) for c in payload])
         .select(*FILE_COLS)
-        .distinct()
     )
 
 
@@ -270,9 +331,16 @@ class SnapshotTable:
             df.select(*FILE_COLS).withColumn("_bucket", bucket_expr(self.n_buckets))
         )
         version = cur["version"] + 1
-        ledger = dict(cur["applied_batches"])
-        if batch_id is not None:
-            ledger[str(batch_id)] = version
+        ledger, hw = _roll_ledger(cur, batch_id, version)
+        lineage, truncated = _roll_lineage(
+            cur,
+            {
+                "op": "overwrite",
+                "version": version,
+                "batch_id": batch_id,
+                "wall_ts": time.time(),
+            },
+        )
         return self._commit(
             {
                 "version": version,
@@ -281,15 +349,9 @@ class SnapshotTable:
                 "mode": self._mode,
                 "files": entries,
                 "applied_batches": ledger,
-                "lineage": cur["lineage"]
-                + [
-                    {
-                        "op": "overwrite",
-                        "version": version,
-                        "batch_id": batch_id,
-                        "wall_ts": time.time(),
-                    }
-                ],
+                "applied_evicted_high_water": hw,
+                "lineage": lineage,
+                "lineage_truncated": truncated,
             }
         )
 
@@ -314,6 +376,15 @@ class SnapshotTable:
             rows.withColumn("_bucket", bucket_expr(self.n_buckets)), cluster=True
         )
         version = cur["version"] + 1
+        lineage, truncated = _roll_lineage(
+            cur,
+            {
+                "op": "compact",
+                "version": version,
+                "tombstone_horizon_lsn": tombstone_horizon_lsn,
+                "wall_ts": time.time(),
+            },
+        )
         return self._commit(
             {
                 "version": version,
@@ -322,17 +393,87 @@ class SnapshotTable:
                 "mode": self._mode,
                 "files": entries,
                 "applied_batches": dict(cur["applied_batches"]),
-                "lineage": cur["lineage"]
-                + [
-                    {
-                        "op": "compact",
-                        "version": version,
-                        "tombstone_horizon_lsn": tombstone_horizon_lsn,
-                        "wall_ts": time.time(),
-                    }
-                ],
+                "applied_evicted_high_water": cur.get("applied_evicted_high_water"),
+                "lineage": lineage,
+                "lineage_truncated": truncated,
             }
         )
+
+    # ------------------------------------------------------ maintenance
+
+    def expire_snapshots(self, keep_n: int = 5) -> dict:
+        """Iceberg-style snapshot expiry: retain the newest ``keep_n``
+        snapshot manifests (always including current), delete older
+        manifest JSONs, and physically remove data files referenced by
+        NO retained snapshot (orphan GC).  Empty commit directories are
+        pruned too.
+
+        Without this, a micro-batch stream grows storage without bound:
+        every COW merge / compact leaves the replaced files on disk for
+        time travel forever.  After expiry, time travel is limited to
+        the retained window — exactly Iceberg's ``expire_snapshots``
+        contract.
+
+        Crash-safe ordering: old manifests are deleted BEFORE their
+        now-orphaned data files, so a crash mid-GC can leave unreferenced
+        garbage files (harmless, re-collected next run) but never a
+        readable manifest pointing at deleted data.
+
+        Returns ``{"manifests_deleted": n, "files_deleted": n,
+        "bytes_reclaimed": n}``.
+        """
+        keep_n = max(1, keep_n)
+        current = self.current_version()
+        if current == 0:
+            return {"manifests_deleted": 0, "files_deleted": 0, "bytes_reclaimed": 0}
+        snap_dir = os.path.join(self.root, "snapshots")
+        versions = sorted(
+            int(fn[1:-5])
+            for fn in os.listdir(snap_dir)
+            if fn.startswith("v") and fn.endswith(".json")
+        )
+        retained = [v for v in versions if v > current - keep_n]
+        expired = [v for v in versions if v <= current - keep_n]
+        if current not in retained:  # pointer must stay readable
+            retained.append(current)
+            expired = [v for v in expired if v != current]
+
+        referenced: set[str] = set()
+        for v in retained:
+            referenced.update(f["path"] for f in self.manifest(v)["files"])
+
+        manifests_deleted = 0
+        for v in expired:
+            os.remove(self._manifest_path(v))
+            manifests_deleted += 1
+
+        files_deleted = bytes_reclaimed = 0
+        data_root = os.path.join(self.root, "data")
+        for commit_id in os.listdir(data_root):
+            commit_dir = os.path.join(data_root, commit_id)
+            live = False
+            for dirpath, _dirnames, filenames in os.walk(commit_dir, topdown=False):
+                for fn in filenames:
+                    path = os.path.join(dirpath, fn)
+                    if path in referenced:
+                        live = True
+                    elif fn.endswith(".parquet"):
+                        bytes_reclaimed += os.path.getsize(path)
+                        os.remove(path)
+                        files_deleted += 1
+                    else:  # _SUCCESS / .crc markers ride along
+                        os.remove(path)
+                try:
+                    os.rmdir(dirpath)  # only succeeds once empty
+                except OSError:
+                    live = True
+            if not live and not os.path.exists(commit_dir):
+                pass  # fully reclaimed
+        return {
+            "manifests_deleted": manifests_deleted,
+            "files_deleted": files_deleted,
+            "bytes_reclaimed": bytes_reclaimed,
+        }
 
     def merge_apply(
         self,
@@ -366,7 +507,7 @@ class SnapshotTable:
         from ..operators.salting import collapse_latest_salted
 
         cur = self.manifest()
-        if str(batch_id) in cur["applied_batches"]:
+        if _batch_applied(cur, batch_id):
             return cur["version"]  # idempotent replay
 
         if not cur["files"]:
@@ -439,8 +580,7 @@ class SnapshotTable:
         extra_lineage: dict | None,
     ) -> int:
         version = cur["version"] + 1
-        ledger = dict(cur["applied_batches"])
-        ledger[str(batch_id)] = version
+        ledger, hw = _roll_ledger(cur, batch_id, version)
         lineage_entry = {
             "op": "merge",
             "version": version,
@@ -450,6 +590,7 @@ class SnapshotTable:
         }
         if extra_lineage:
             lineage_entry.update(extra_lineage)
+        lineage, truncated = _roll_lineage(cur, lineage_entry)
         return self._commit(
             {
                 "version": version,
@@ -458,6 +599,8 @@ class SnapshotTable:
                 "mode": self._mode,
                 "files": keep + new_entries,
                 "applied_batches": ledger,
-                "lineage": cur["lineage"] + [lineage_entry],
+                "applied_evicted_high_water": hw,
+                "lineage": lineage,
+                "lineage_truncated": truncated,
             }
         )

@@ -31,13 +31,21 @@ def _with_planted_exact_dups(docs):
 
 
 def q_exact_dedup(spark, sf_dir):
-    """Exact dedup: hash-groupBy on text, keep min doc_id; per-lang
-    survivor stats.  One shuffle on the text hash; at 100 TB you'd
-    group on xxhash64(text) first and only compare full text within
-    hash groups — here text itself is the grouping key, which Spark
-    hashes anyway."""
+    """Exact dedup, scale-safe: group on a compound content hash
+    (xxhash64 + md5 + length, all computed map-side) instead of the
+    full text, so the shuffle payload per row is ~50 bytes regardless
+    of document size — at 100 TB the old text-keyed groupBy would
+    shuffle the entire corpus.  Two independent hashes plus the exact
+    length stand in for the within-group full-text confirm: a false
+    merge needs a simultaneous 64-bit and 128-bit collision at equal
+    length (~2^-192 per pair)."""
     corpus = _with_planted_exact_dups(_docs(spark, sf_dir))
-    survivors = corpus.groupBy("text").agg(
+    survivors = corpus.select(
+        F.xxhash64("text").alias("h64"),
+        F.md5("text").alias("h128"),
+        F.length("text").alias("tlen"),
+        "doc_id",
+    ).groupBy("h64", "h128", "tlen").agg(
         F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
     )
     return (
@@ -60,8 +68,8 @@ WITH corpus AS (
   FROM corpus GROUP BY text
 )
 SELECT count(*) AS n_unique,
-       sum(n_copies) AS n_total,
-       sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_duped
+       CAST(sum(n_copies) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duped
 FROM survivors
 """
 
@@ -79,7 +87,11 @@ def q_token_stats(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tok").alias("total_tokens"),
-            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            # tie-free average: floor of milli-tokens/doc — identical
+            # IEEE-double expression on both engines, no HALF_UP edge
+            F.floor(F.sum("n_tok") * 1000.0 / F.count("*"))
+            .cast("long")
+            .alias("avg_tokens_milli"),
             F.sum("n_bpe").alias("total_bpe_tokens"),
         )
         .orderBy("lang")
@@ -89,9 +101,9 @@ def q_token_stats(spark, sf_dir):
 SQL_TOKEN_STATS = """
 SELECT lang,
        count(*) AS n_docs,
-       sum(n_tok) AS total_tokens,
-       round(avg(n_tok), 4) AS avg_tokens,
-       sum(n_bpe) AS total_bpe_tokens
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(floor(sum(n_tok) * 1000.0 / count(*)) AS BIGINT) AS avg_tokens_milli,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens
 FROM (
   SELECT lang,
          len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,

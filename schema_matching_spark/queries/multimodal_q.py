@@ -30,7 +30,7 @@ def q_multimodal_features(spark, sf_dir):
 SQL_MULTIMODAL = """
 SELECT 'text/utf-8' AS kind,
        count(*) AS n_assets,
-       sum(strlen(text)) AS total_bytes,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
        count(DISTINCT sha256(text)) AS n_distinct_sha,
        round(avg(mean_byte), 4) AS avg_mean_byte
 FROM (

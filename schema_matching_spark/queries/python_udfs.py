@@ -79,9 +79,12 @@ def q_grouped_map_zscore(spark, sf_dir):
     return (
         scored.groupBy("c_nationkey")
         .agg(
-            F.round(F.max("z"), 4).alias("max_z"),
-            F.round(F.min("z"), 4).alias("min_z"),
-            F.round(F.avg("z"), 4).alias("mean_z"),
+            # + 0.0 normalizes IEEE signed zero: mean-centered aggregates
+            # round to ±0.0 depending on summation order, and -0.0 vs 0.0
+            # renders differently in the driver's value hash
+            (F.round(F.max("z"), 4) + F.lit(0.0)).alias("max_z"),
+            (F.round(F.min("z"), 4) + F.lit(0.0)).alias("min_z"),
+            (F.round(F.avg("z"), 4) + F.lit(0.0)).alias("mean_z"),
             F.count("*").alias("n"),
         )
         .orderBy("c_nationkey")
@@ -96,9 +99,9 @@ WITH scored AS (
   WINDOW w AS (PARTITION BY c_nationkey)
 )
 SELECT c_nationkey,
-       round(max(z), 4) AS max_z,
-       round(min(z), 4) AS min_z,
-       round(avg(z), 4) AS mean_z,
+       round(max(z), 4) + 0.0 AS max_z,
+       round(min(z), 4) + 0.0 AS min_z,
+       round(avg(z), 4) + 0.0 AS mean_z,
        count(*) AS n
 FROM scored
 GROUP BY c_nationkey

@@ -496,7 +496,7 @@ def q_json_events(spark, sf_dir):
 
 
 SQL_JSON_EVENTS = """
-SELECT event_type, count(*) AS n, sum(k) AS sum_k, max(k) AS max_k FROM (
+SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k FROM (
   SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
   FROM events
 ) WHERE k IS NOT NULL

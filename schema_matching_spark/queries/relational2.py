@@ -42,18 +42,30 @@ ORDER BY w_start, event_type
 
 def q_sliding_window(spark, sf_dir):
     """Sliding windows: 2-hour width, 1-hour slide — each event lands in
-    two windows."""
+    two windows.
+
+    Hash-stability note (round-1 fix): the old `round(avg(value), 4)`
+    output sat exactly on a rounding half for 3/721 windows, so Spark
+    (HALF_UP) and DuckDB disagreed on the last digit. The aggregate is
+    now tie-free: per-row quantize to integer milli-units, then an exact
+    integer sum — associative, order-independent, bit-stable."""
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
-        .select(F.col("w.start").alias("w_start"), "n", "avg_value")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias(
+                "sum_value_milli"
+            ),
+        )
+        .select(F.col("w.start").alias("w_start"), "n", "sum_value_milli")
         .orderBy("w_start")
     )
 
 
 SQL_SLIDING = """
-SELECT w_start, count(*) AS n, round(avg(value), 4) AS avg_value
+SELECT w_start, count(*) AS n,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
 FROM (
   SELECT time_bucket(INTERVAL '1 hour', ts) - (o * INTERVAL '1 hour') AS w_start,
          value
@@ -125,8 +137,8 @@ WITH e AS (SELECT user_id % 50 AS k, ts, event_id FROM events),
        FROM e
      )
 SELECT count(*) AS n_events,
-       sum(CASE WHEN asof_orderkey IS NULL THEN 1 ELSE 0 END) AS n_no_match,
-       sum(asof_orderkey) AS sum_orderkey
+       CAST(sum(CASE WHEN asof_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_match,
+       CAST(sum(asof_orderkey) AS BIGINT) AS sum_orderkey
 FROM j
 """
 
@@ -177,8 +189,8 @@ SELECT l_orderkey, l_linenumber,
        round(pow(l_discount, 2), 8) AS disc_sq,
        abs(l_quantity - 25) AS qty_dev,
        l_partkey % 7 AS pk_mod,
-       ceil(l_tax) AS tax_ceil,
-       floor(l_extendedprice / 1000) AS price_k
+       CAST(ceil(l_tax) AS BIGINT) AS tax_ceil,
+       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k
 FROM lineitem
 WHERE l_orderkey <= 200
 ORDER BY l_orderkey, l_linenumber

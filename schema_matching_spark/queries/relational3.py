@@ -50,7 +50,7 @@ WITH marked AS (
 SELECT user_id,
        count(*) AS n_sessions,
        max(n_events) AS max_session_events,
-       sum(n_events) AS total_events
+       CAST(sum(n_events) AS BIGINT) AS total_events
 FROM per_session
 GROUP BY user_id
 ORDER BY user_id

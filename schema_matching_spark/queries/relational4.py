@@ -426,15 +426,13 @@ def q_lag_lead_sessions(spark, sf_dir):
         "event_id",
         F.col("ts").alias("ts"),
         # ts is TIMESTAMP_NTZ (no direct cast to double); the micros
-        # difference is timezone-free and keeps sub-second precision
-        F.round(
-            (
-                F.unix_micros(F.col("ts").cast("timestamp"))
-                - F.unix_micros(F.lag("ts", 1).over(w).cast("timestamp"))
-            )
-            / 1_000_000.0,
-            3,
-        ).alias("gap_s"),
+        # difference is timezone-free.  Emitted as integer microseconds —
+        # a rounded double gap sat on a HALF_UP knife edge for 1/10000
+        # rows in round 1; integers cannot tie.
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts", 1).over(w).cast("timestamp"))
+        ).alias("gap_us"),
         F.lead("event_type", 1).over(w).alias("next_type"),
         F.ntile(4).over(w).alias("quartile"),
     )
@@ -442,7 +440,7 @@ def q_lag_lead_sessions(spark, sf_dir):
 
 SQL_LAG_LEAD_SESSIONS = """
 SELECT user_id, event_id, ts,
-       round(epoch(ts) - epoch(lag(ts, 1) OVER w), 3) AS gap_s,
+       epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us,
        lead(event_type, 1) OVER w AS next_type,
        ntile(4) OVER w AS quartile
 FROM events

@@ -1,0 +1,133 @@
+"""Snapshot maintenance: expire_snapshots + orphan GC, and bounded
+manifest growth over a long stream (VERDICT r1 items 2-3).
+
+The manifest-bounding checks drive the pure commit protocol directly
+(300 fake commits — no Spark jobs needed to prove O(1) manifest bytes);
+the expiry checks run real merges so the reclaimed files are real."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_matching_spark.operators.apply import apply_batch
+from schema_matching_spark.operators.verify import content_hash, states_equal
+from schema_matching_spark.plans.table import (
+    APPLIED_KEEP,
+    LINEAGE_KEEP,
+    SnapshotTable,
+    _batch_applied,
+)
+from schema_matching_spark.sources.generator import changes, expected_state
+
+
+def _manifest_bytes(table):
+    return os.path.getsize(table._manifest_path(table.current_version()))
+
+
+def test_manifest_growth_is_bounded_over_300_commits(spark, tmp_path):
+    """300 commits through the real commit protocol (empty file lists —
+    the ledger/lineage logic is identical for real merges): manifest
+    size must plateau, not grow linearly."""
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4)
+    sizes = []
+    for i in range(300):
+        cur = table.manifest()
+        table._commit_merge(cur, [], [], batch_id=i, affected=set(),
+                            extra_lineage=None)
+        sizes.append(_manifest_bytes(table))
+    m = table.manifest()
+    assert len(m["lineage"]) == LINEAGE_KEEP
+    assert m["lineage_truncated"] == 300 - LINEAGE_KEEP
+    assert len(m["applied_batches"]) == APPLIED_KEEP
+    # once both windows are full, size stops growing (±keys of different
+    # integer widths)
+    assert sizes[-1] <= sizes[APPLIED_KEEP + 10] * 1.05
+    # a naive O(commits) manifest at 300 commits would be ~5x the window
+    assert sizes[-1] < sizes[50] * 3
+
+
+def test_evicted_numeric_batch_ids_stay_applied(spark, tmp_path):
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4)
+    for i in range(APPLIED_KEEP + 40):
+        cur = table.manifest()
+        table._commit_merge(cur, [], [], batch_id=i, affected=set(),
+                            extra_lineage=None)
+    m = table.manifest()
+    # batch 0..39 were evicted from the window yet must read as applied
+    assert "0" not in m["applied_batches"]
+    for evicted in (0, 17, 39):
+        assert _batch_applied(m, evicted)
+    assert _batch_applied(m, APPLIED_KEEP + 39)  # newest, in-window
+    assert not _batch_applied(m, APPLIED_KEEP + 40)  # never applied
+    # non-numeric ids inside the window still dedup exactly
+    cur = table.manifest()
+    table._commit_merge(cur, [], [], batch_id="restart-marker",
+                        affected=set(), extra_lineage=None)
+    assert _batch_applied(table.manifest(), "restart-marker")
+    assert not _batch_applied(table.manifest(), "never-seen")
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_expire_snapshots_reclaims_disk_and_keeps_state(spark, tmp_path, mode):
+    log = changes(spark, 1200, n_conv=30, turns_per_conv=10, partitions=2).cache()
+    expected = expected_state(log).cache()
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode=mode)
+    step = 100
+    for i in range(12):
+        batch = log.where(
+            (F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step)
+        )
+        apply_batch(table, batch, batch_id=i)
+    assert table.current_version() == 12
+    h_before = content_hash(table.read())
+
+    def disk_bytes():
+        total = 0
+        for dirpath, _d, files in os.walk(str(tmp_path / "t" / "data")):
+            total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        return total
+
+    before = disk_bytes()
+    stats = table.expire_snapshots(keep_n=3)
+    assert stats["manifests_deleted"] == 9  # v1..v9 gone, v10-12 retained
+    if mode == "cow":
+        # COW rewrites affected buckets every merge → old versions own
+        # real bytes that must be reclaimed
+        assert stats["files_deleted"] > 0
+        assert disk_bytes() < before
+    # current state untouched, bit-for-bit
+    assert content_hash(table.read()) == h_before
+    assert states_equal(table.read(), expected)
+    # retained time travel still works; expired versions are gone
+    assert table.time_travel(10).count() >= 0
+    with pytest.raises(FileNotFoundError):
+        table.manifest(3)
+    # idempotent re-run
+    stats2 = table.expire_snapshots(keep_n=3)
+    assert stats2["manifests_deleted"] == 0
+    assert stats2["files_deleted"] == 0
+
+
+def test_expire_after_compact_gc_folds_everything(spark, tmp_path):
+    """compact() then expire(keep_n=1): only the compacted snapshot's
+    files remain on disk."""
+    log = changes(spark, 800, n_conv=20, turns_per_conv=8, partitions=2)
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    for i in range(4):
+        batch = log.where(
+            (F.col("lsn") >= i * 200) & (F.col("lsn") < (i + 1) * 200)
+        )
+        apply_batch(table, batch, batch_id=i)
+    h = content_hash(table.read())
+    table.compact()
+    table.expire_snapshots(keep_n=1)
+    live = {f["path"] for f in table.manifest()["files"]}
+    on_disk = set()
+    for dirpath, _d, files in os.walk(str(tmp_path / "t" / "data")):
+        on_disk.update(
+            os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
+        )
+    assert on_disk == live
+    assert content_hash(table.read()) == h
