@@ -255,7 +255,7 @@ def shingle_hash_rows(
     ).dropDuplicates([id_col, "h"])
 
 
-def jaccard_pairs(shr: DataFrame, cand: DataFrame) -> DataFrame:
+def jaccard_pairs(shr: DataFrame, cand: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Exact Jaccard for candidate pairs, relationally: join each pair
     with both documents' shingle-hash rows, count matching hashes,
     |A∩B| / (|A|+|B|-|A∩B|).  Everything is narrow-long shuffles under
@@ -264,10 +264,11 @@ def jaccard_pairs(shr: DataFrame, cand: DataFrame) -> DataFrame:
     LSH stage at corpus scale).  Pairs with an empty intersection drop
     out (their Jaccard is 0 — below any useful dedup threshold).
 
-    ``shr``: (doc_id, h) distinct rows; ``cand``: (id_a, id_b)."""
-    sizes = shr.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = shr.select(F.col("doc_id").alias("id_a"), "h")
-    b = shr.select(F.col("doc_id").alias("id_b"), "h")
+    ``shr``: (id_col, h) distinct rows — the same ``id_col`` passed to
+    ``shingle_hash_rows``; ``cand``: (id_a, id_b)."""
+    sizes = shr.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = shr.select(F.col(id_col).alias("id_a"), "h")
+    b = shr.select(F.col(id_col).alias("id_b"), "h")
     inter = (
         cand.join(a, "id_a")
         .join(b, ["id_b", "h"])
@@ -275,9 +276,9 @@ def jaccard_pairs(shr: DataFrame, cand: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("_inter"))
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "id_a")
+        inter.join(sizes.withColumnRenamed(id_col, "id_a")
                    .withColumnRenamed("n", "_na"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .join(sizes.withColumnRenamed(id_col, "id_b")
               .withColumnRenamed("n", "_nb"), "id_b")
         .select(
             "id_a",

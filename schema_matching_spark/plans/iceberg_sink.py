@@ -49,19 +49,37 @@ def merge_into_iceberg(
     """Apply a collapsed change set (≤1 row per key, winning op/lsn —
     plans.table.lww_reduce output) to a real Iceberg table.
 
-    Mirrors SnapshotTable.merge_apply semantics:
+    Mirrors SnapshotTable.merge_apply semantics EXACTLY, including
+    tombstone persistence — a winning op='D' is stored as a tombstone
+    row, never physically deleted here:
 
-    * matched AND source.lsn > target.lsn AND op = 'D'  → delete
-    * matched AND source.lsn > target.lsn               → update all
-    * not matched AND op != 'D'                         → insert
+    * matched AND source.lsn > target.lsn → update all (op='D' rows
+      included: the tombstone with its lsn replaces the stored row and
+      keeps guarding the key)
+    * not matched → insert all (op='D' included: a delete arriving
+      before its insert must still park its lsn on the key, or the
+      late-arriving stale insert would resurrect it)
     * stale lsn (≤ stored) → no-op (idempotent redelivery)
 
-    The target table must carry the ``lsn`` column (as SnapshotTable's
-    FILE_SCHEMA does) for the same two-layer exactly-once guarantee.
-    Iceberg's own snapshot/manifest machinery replaces the JSON
-    manifests; the streaming foreachBatch batch-id ledger is replaced
-    by checking ``snapshot_id`` lineage or simply relying on lsn-LWW
-    idempotence, which this MERGE preserves.
+    Readers filter ``op != 'D'`` — exactly SnapshotTable.read().
+    Physical deletion of aged tombstones is a maintenance pass (the
+    analogue of SnapshotTable.compact): ``DELETE FROM t WHERE op = 'D'
+    AND lsn < <redelivery horizon>`` once no event that old can still
+    arrive.
+
+    Round-1 note: this used to translate op='D' into a physical MERGE
+    DELETE + insert-if-not-matched, which drops the delete's lsn guard —
+    a stale pre-delete event redelivered in a later batch would hit
+    whenNotMatched and resurrect the key, and a delete arriving before
+    its insert was silently lost.  Persisting tombstones restores the
+    documented semantics (plans/table.py FILE_SCHEMA comment).
+
+    The target table must carry the ``lsn`` and ``op`` columns (as
+    SnapshotTable's FILE_SCHEMA does) for the same two-layer
+    exactly-once guarantee.  Iceberg's own snapshot/manifest machinery
+    replaces the JSON manifests; the streaming foreachBatch batch-id
+    ledger is replaced by checking ``snapshot_id`` lineage or simply
+    relying on lsn-LWW idempotence, which this MERGE preserves.
     """
     if not iceberg_available(spark, catalog):
         raise IcebergUnavailableError(
@@ -75,11 +93,31 @@ def merge_into_iceberg(
     (
         collapsed.alias("source")
         .mergeInto(f"{catalog}.{table_ident}", F.expr(cond))
-        .whenMatched(F.expr("source.lsn > target.lsn AND source.op = 'D'"))
-        .delete()
         .whenMatched(F.expr("source.lsn > target.lsn"))
         .updateAll()
-        .whenNotMatched(F.expr("source.op != 'D'"))
+        .whenNotMatched()
         .insertAll()
         .merge()
+    )
+
+
+def read_iceberg_state(
+    spark: SparkSession, table_ident: str, catalog: str = "iceberg"
+) -> DataFrame:
+    """Logical table state: tombstones filtered, exactly like
+    SnapshotTable.read()."""
+    return spark.table(f"{catalog}.{table_ident}").where(F.col("op") != "D")
+
+
+def expire_iceberg_tombstones(
+    spark: SparkSession,
+    table_ident: str,
+    horizon_lsn: int,
+    catalog: str = "iceberg",
+) -> None:
+    """Maintenance analogue of SnapshotTable.compact(horizon): physically
+    drop tombstones older than the redelivery horizon."""
+    spark.sql(
+        f"DELETE FROM {catalog}.{table_ident} "
+        f"WHERE op = 'D' AND lsn < {int(horizon_lsn)}"
     )

@@ -588,6 +588,10 @@ class SnapshotTable:
             "affected_buckets": sorted(affected),
             "wall_ts": time.time(),
         }
+        if callable(extra_lineage):
+            # lazily-resolved lineage (e.g. an Observation whose metrics
+            # only exist once the merge's write action has run)
+            extra_lineage = extra_lineage()
         if extra_lineage:
             lineage_entry.update(extra_lineage)
         lineage, truncated = _roll_lineage(cur, lineage_entry)

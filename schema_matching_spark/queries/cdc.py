@@ -9,6 +9,7 @@ change log: event_id ≡ lsn, user_id ≡ key.
 from __future__ import annotations
 
 import tempfile
+import uuid
 
 from pyspark.sql import functions as F
 
@@ -35,16 +36,17 @@ def q_stateful_progress(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="q_stateful_")
     log = changes(spark, 3000, n_conv=20, turns_per_conv=10, partitions=4)
     write_segments(log, os.path.join(root, "wal"), 3)
+    sink = f"q_stateful_progress_sink_{uuid.uuid4().hex[:8]}"
     q = (
         conversation_progress(read_stream(spark, os.path.join(root, "wal"), 1))
         .writeStream.format("memory")
-        .queryName("q_stateful_progress_sink")
+        .queryName(sink)
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    emitted = spark.table("q_stateful_progress_sink")
+    emitted = spark.table(sink)
     return (
         emitted.groupBy("conv_id")
         .agg(

@@ -14,10 +14,15 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import functions as F
 
-_SCRATCH = os.path.join(tempfile.gettempdir(), "sms_sources_scratch")
+# per-process scratch root: two concurrent harness/bench runs on the
+# same sf_dir must not overwrite each other's round-trip files mid-read
+_SCRATCH = os.path.join(
+    tempfile.gettempdir(), f"sms_sources_scratch_{os.getpid()}"
+)
 
 
 def _t(spark, sf_dir, name):
@@ -145,7 +150,9 @@ def q_stream_aggregate(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
-    sink = "stream_aggregate_result"
+    # unique per call: a fixed global name collides across concurrent
+    # runs sharing one SparkSession (memory sinks are session-global)
+    sink = f"stream_aggregate_result_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory")
         .queryName(sink)

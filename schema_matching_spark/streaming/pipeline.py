@@ -18,11 +18,18 @@ Counters (B8): ``observe()`` attaches row-count/max-lsn metrics to each
 micro-batch; a StreamingQueryListener would export them on a cluster —
 here foreachBatch records them into the table's lineage entry directly,
 so every committed snapshot knows its input row count and LSN range.
+
+Single-pass contract: the counters ride the merge's own scan via an
+``Observation`` node — round 1 ran a separate ``.agg(...).collect()``
+before ``merge_apply`` re-consumed the batch, i.e. two full source
+passes per micro-batch.  The lineage dict is resolved lazily (callable)
+inside the commit, after the merge's write action has populated the
+metrics.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -57,22 +64,22 @@ def start_cdc_stream(
     def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
         if evolver is not None:
             batch_df = evolver(batch_df)
-        stats = batch_df.agg(
-            F.count("*").alias("rows"),
+        obs = Observation()
+        observed = batch_df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
             F.min("lsn").alias("lsn_lo"),
             F.max("lsn").alias("lsn_hi"),
-        ).collect()[0]
-        if stats["rows"] == 0:
-            return
-        table.merge_apply(
-            batch_df,
-            batch_id,
-            n_salts=n_salts,
-            extra_lineage={
-                "input_rows": stats["rows"],
-                "lsn_range": [stats["lsn_lo"], stats["lsn_hi"]],
-            },
         )
+
+        def lineage() -> dict:
+            m = obs.get  # available: the merge's write already ran
+            return {
+                "input_rows": m["rows"],
+                "lsn_range": [m["lsn_lo"], m["lsn_hi"]],
+            }
+
+        table.merge_apply(observed, batch_id, n_salts=n_salts, extra_lineage=lineage)
 
     writer = (
         deduped.writeStream.foreachBatch(apply_fn)

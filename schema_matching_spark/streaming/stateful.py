@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -40,13 +41,18 @@ PROGRESS_SCHEMA = StructType(
         StructField("n_deletes", LongType(), False),
         StructField("max_lsn", LongType(), False),
         StructField("n_turns_touched", IntegerType(), False),
+        StructField("turns_saturated", BooleanType(), False),
         StructField("last_ts", TimestampType(), True),
     ]
 )
 
-#: state buffer: counters + packed turn-index bitmap is overkill here —
-#: turn cardinality is bounded (input_hint: turn_idx int32 per conv),
-#: so a sorted distinct-turn count via a capped list is stored instead.
+#: state buffer: counters + a capped distinct-turn list.
+#: ``n_turns_touched`` is EXACT while a conversation has fewer than
+#: _MAX_TRACKED_TURNS distinct turns; beyond that the set stops growing
+#: and the emitted ``turns_saturated`` flag flips true — the consumer
+#: sees the switch from exact count to lower bound explicitly instead
+#: of a silent undercount (ADVICE r1).  Transcript conversations sit
+#: far below the cap (input_hint: turn_idx int32 per conv).
 STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType(), False),
@@ -98,6 +104,7 @@ def _make_tracker(idle_timeout_ms: int | None):
                 "n_deletes": [n_deletes],
                 "max_lsn": [max_lsn],
                 "n_turns_touched": [len(turns)],
+                "turns_saturated": [len(turns) >= _MAX_TRACKED_TURNS],
                 "last_ts": [
                     pd.Timestamp(last_ts_us * 1000) if last_ts_us else pd.NaT
                 ],
