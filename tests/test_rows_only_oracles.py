@@ -1,0 +1,72 @@
+"""Value-level local oracles for the driver's rows-only queries
+(VERDICT r1 #9): the driver can only rows-check cdc_replay_state and
+stateful_progress (their input is the engine-internal deterministic
+generator, not the shared testdata views) — here the SAME generated log
+is persisted to parquet and the exact expected values are computed in
+pure DuckDB SQL, so the rows-only entries are backed by exact local
+equality."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from schema_matching_spark.queries import cdc
+from schema_matching_spark.sources.generator import changes, with_dup_delivery
+from tests.conftest import SF_DIR
+
+
+def _duck_on(log_path):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW log AS SELECT * FROM read_parquet('{log_path}/*.parquet')"
+    )
+    return con
+
+
+def test_cdc_replay_state_values_match_pure_sql(spark, tmp_path):
+    # identical construction to q_cdc_replay_state (generator is
+    # deterministic: same args -> same rows)
+    log = with_dup_delivery(changes(spark, 20000, n_conv=100, turns_per_conv=30))
+    log_path = str(tmp_path / "log")
+    log.write.parquet(log_path)
+
+    expected = _duck_on(log_path).execute("""
+        WITH win AS (
+          SELECT conv_id, turn_idx, max(lsn) AS lsn FROM log GROUP BY 1, 2
+        ), state AS (
+          SELECT DISTINCT l.conv_id, l.turn_idx, l.op, l.role
+          FROM log l JOIN win USING (conv_id, turn_idx, lsn)
+        )
+        SELECT role,
+               count(*) AS n_turns,
+               count(DISTINCT conv_id) AS n_convs,
+               max(turn_idx) AS max_turn
+        FROM state WHERE op <> 'D'
+        GROUP BY role ORDER BY role
+    """).fetchall()
+
+    actual = [
+        (r["role"], r["n_turns"], r["n_convs"], r["max_turn"])
+        for r in cdc.q_cdc_replay_state(spark, SF_DIR).collect()
+    ]
+    assert actual == [tuple(r) for r in expected]
+
+
+def test_stateful_progress_values_match_pure_sql(spark, tmp_path):
+    log = changes(spark, 3000, n_conv=20, turns_per_conv=10, partitions=4)
+    log_path = str(tmp_path / "log")
+    log.write.parquet(log_path)
+
+    expected = _duck_on(log_path).execute("""
+        SELECT conv_id,
+               count(*) AS n_events,
+               sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes,
+               max(lsn) AS max_lsn
+        FROM log GROUP BY conv_id ORDER BY conv_id
+    """).fetchall()
+
+    actual = [
+        (r["conv_id"], r["n_events"], r["n_deletes"], r["max_lsn"])
+        for r in cdc.q_stateful_progress(spark, SF_DIR).collect()
+    ]
+    assert actual == [tuple(r) for r in expected]
