@@ -542,12 +542,29 @@ class SnapshotTable:
                 extra_lineage,
             )
 
-        batch_rows = changes.select(*FILE_COLS)
-        batch_rows.persist()
+        # Incremental COW: collapse the raw batch first (salted — the
+        # raw log is where hot-key skew lives), then merge with the
+        # touched buckets' stored rows via ONE bucket-aligned shuffle.
+        # Both inputs are ≤1 row per (key, lsn) after the collapse, so
+        # per key the union holds ≤2 rows and a bucket-local window
+        # picks the winner without any further exchange:
+        # HashPartitioning(_bucket) satisfies the window's clustering
+        # because _bucket leads its partition spec, and the window's
+        # (bucket, key, lsn desc) sort doubles as the partitioned
+        # writer's required ordering.  Round 1 paid three full-payload
+        # shuffles here (join-back + dedup agg + cluster repartition);
+        # this is one (measured 25.1 s → see BENCH/BASELINE.md).
+        # Bucket skew is not a concern on this path: stored buckets are
+        # hash-balanced and the batch was already collapsed to ≤1 row
+        # per key.
+        from pyspark.sql.window import Window
+
+        batch_c = collapse_latest_salted(changes, n_salts=n_salts)
+        batch_c.persist()
         try:
             affected = {
                 r["_bucket"]
-                for r in batch_rows.select(
+                for r in batch_c.select(
                     bucket_expr(self.n_buckets).alias("_bucket")
                 )
                 .distinct()
@@ -556,19 +573,27 @@ class SnapshotTable:
             keep = [f for f in cur["files"] if f["bucket"] not in affected]
             touch_paths = [f["path"] for f in cur["files"] if f["bucket"] in affected]
 
-            rows = self._read_files(touch_paths).unionByName(batch_rows)
-            new_data = lww_reduce(rows, n_salts=n_salts).withColumn(
-                "_bucket", bucket_expr(self.n_buckets)
+            rows = self._read_files(touch_paths).unionByName(
+                batch_c.select(*FILE_COLS)
             )
-            # incremental batches are small and frequent: the extra
-            # repartition is cheap and keeps one file set per bucket
-            # (bootstrap skips it — there the shuffle is the whole log)
-            new_entries = self._write_commit_files(new_data, cluster=True)
+            bucketed = rows.withColumn(
+                "_bucket", bucket_expr(self.n_buckets)
+            ).repartition(F.col("_bucket"))
+            w = (
+                Window.partitionBy("_bucket", *KEY_COLS)
+                .orderBy(F.desc("lsn"))
+            )
+            new_data = (
+                bucketed.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            new_entries = self._write_commit_files(new_data)
             return self._commit_merge(
                 cur, keep, new_entries, batch_id, affected, extra_lineage
             )
         finally:
-            batch_rows.unpersist()
+            batch_c.unpersist()
 
     def _commit_merge(
         self,
