@@ -98,14 +98,18 @@ def q_idle_rich_customers(spark, sf_dir):
     after a cutoff — scalar-subquery threshold + left-anti join."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    # scalar threshold stays in-plan: a broadcast 1-row cross join keeps
+    # the whole query one job (a driver-side collect() here would add a
+    # separate blocking job per run — flagged r1)
     avg_bal = c.where(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("a")
-    ).collect()[0]["a"]
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
     recent = o.where(F.col("o_orderdate") >= F.lit("2000-01-01")).select(
         "o_custkey"
     )
     return (
-        c.where(F.col("c_acctbal") > avg_bal)
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
         .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
@@ -134,13 +138,19 @@ def q_order_value_distribution(spark, sf_dir):
     shape every ingest pipeline needs)."""
     o = _t(spark, sf_dir, "orders")
     band = (F.floor(F.col("o_totalprice") / 100000) * 100000).cast("long")
-    total = o.count()
+    # total via a window over the banded aggregate (25-ish rows), not a
+    # separate o.count() job (flagged r1)
+    from pyspark.sql.window import Window
+
+    banded = o.select(band.alias("band")).groupBy("band").agg(
+        F.count("*").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
     return (
-        o.select(band.alias("band"))
-        .groupBy("band")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.count("*") / F.lit(float(total)), 6).alias("share"),
+        banded.select(
+            "band",
+            "n",
+            F.round(F.col("n") / total, 6).alias("share"),
         )
         .orderBy("band")
     )
