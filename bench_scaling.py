@@ -38,7 +38,6 @@ Writes BENCH/BASELINE.md and prints one JSON line.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import shutil
@@ -112,7 +111,14 @@ def _stage_report(eventlog_dir: str, window: tuple[float, float]) -> list[dict]:
     from the Spark event log (SparkListenerStageCompleted accumulables)."""
     lo_ms, hi_ms = window[0] * 1000, window[1] * 1000
     stages = []
-    for path in glob.glob(os.path.join(eventlog_dir, "*")):
+    paths = []
+    for dirpath, _dirs, files in os.walk(eventlog_dir):
+        # Spark 4 rolling format: eventlog_v2_<app>/events_* files
+        paths.extend(
+            os.path.join(dirpath, fn) for fn in files
+            if not fn.startswith("appstatus_")
+        )
+    for path in paths:
         with open(path, errors="replace") as f:
             for line in f:
                 if '"SparkListenerStageCompleted"' not in line:

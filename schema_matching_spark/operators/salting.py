@@ -49,13 +49,22 @@ def collapse_latest_salted(log: DataFrame, n_salts: int = 16) -> DataFrame:
        default prefers hash over sort-merge) — either way the wide
        payload columns are never sorted and never enter an agg buffer.
 
-    Duplicate deliveries of the *winning* event (same lsn + key, same
-    payload — the WAL redelivery case) would survive the join as
-    identical rows; the final ``distinct`` absorbs them.  It groups on
-    all columns with NO aggregation buffer, which is plain
-    HashAggregate — unlike ``dropDuplicates(subset)``, whose first()
-    buffers on string payloads would sort-fall-back again.
+    Duplicate deliveries of the *winning* event survive the join (same
+    key + lsn); the keyed winner window absorbs them — including
+    payload-jittered redeliveries from a non-conforming WAL, which the
+    round-1 full-row ``distinct`` would have let through as duplicate
+    key rows.  The window's per-group sort is skew-safe here because
+    the inner join already dropped every non-winning event: a hot
+    conversation contributes only its winners' redeliveries, not its
+    raw event mass.
     """
+    return dedup_winners(winners_join(log, n_salts=n_salts))
+
+
+def winners_join(log: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Phases 1+2 without the final dedup: ≥1 row per key, every row a
+    winning (key, lsn) — table.py fuses the dedup into its
+    bucket-aligned write shuffle instead."""
     salted = log.withColumn("_salt", F.pmod(F.xxhash64("lsn"), F.lit(n_salts)))
     winners = (
         salted.groupBy(*KEY_COLS, "_salt")
@@ -69,4 +78,29 @@ def collapse_latest_salted(log: DataFrame, n_salts: int = 16) -> DataFrame:
     # per-partition tables in parallel (build side = narrow winners).
     return log.join(winners.hint("shuffle_hash"), [*KEY_COLS, "lsn"], "inner").select(
         *KEY_COLS, "lsn", "op", "role", "text", "tool", "ts"
-    ).distinct()
+    )
+
+
+def winner_order():
+    """Deterministic winner ordering: highest lsn, payload hash as the
+    tie-break so a jittered redelivery resolves to the SAME single row
+    on every run/engine width (row_number over ties would otherwise be
+    plan-dependent)."""
+    return [
+        F.desc("lsn"),
+        F.desc(F.xxhash64("op", "role", "text", "tool", "ts")),
+    ]
+
+
+def dedup_winners(rows: DataFrame) -> DataFrame:
+    """≤1 row per key via a keyed window.  Callers must guarantee rows
+    per key are bounded (post-winners-join or pre-collapsed inputs) —
+    for raw skewed logs use winners_join first."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*KEY_COLS).orderBy(*winner_order())
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

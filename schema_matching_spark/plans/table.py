@@ -124,34 +124,31 @@ def _batch_applied(cur: dict, batch_id) -> bool:
     return False
 
 
-def lww_reduce(rows: DataFrame, n_salts: int = 16) -> DataFrame:
+def lww_reduce(rows: DataFrame) -> DataFrame:
     """Last-write-wins reduce over FILE_COLS rows: per (conv_id,
     turn_idx) keep the highest-lsn row (tombstones included — they keep
-    guarding their key).  Shared by the COW merge, the MOR read path,
-    and compact().
+    guarding their key).  Used by the MOR read path.
 
-    Physical shape (rationale in operators/salting.py): salted narrow
-    ``max(lsn)`` HashAggregate → shuffled-hash join-back for payloads →
-    a (key, lsn)-keyed HashAggregate absorbing duplicate deliveries of
-    the winning event.
+    Physical shape: ONE keyed window (one payload shuffle + per-group
+    sort).  This is safe — and cheaper than the salted agg + join-back
+    used for raw logs (operators/salting.py) — because every caller
+    feeds pre-collapsed inputs: stored table rows are ≤1 per key per
+    commit, so rows-per-key is bounded by the commit count, never by a
+    hot conversation's raw event mass.
 
-    Dedup contract: keyed on (conv_id, turn_idx, lsn) — NOT the full
-    row — so even if a redelivered winning event arrives with payload
-    jitter (a non-conforming WAL), the reduce still emits exactly one
-    row per key (an arbitrary-but-single winner) instead of silently
-    duplicating the key the way a full-row ``distinct`` would."""
-    salted = rows.withColumn("_salt", F.pmod(F.xxhash64("lsn"), F.lit(n_salts)))
-    win_lsn = (
-        salted.groupBy(*KEY_COLS, "_salt")
-        .agg(F.max("lsn").alias("lsn"))
-        .groupBy(*KEY_COLS)
-        .agg(F.max("lsn").alias("lsn"))
-    )
-    payload = [c for c in FILE_COLS if c not in (*KEY_COLS, "lsn")]
+    Dedup contract: exactly one row per key even under payload-jittered
+    redelivery (deterministic hash tie-break, operators/salting.py
+    winner_order) — a full-row distinct would silently emit duplicate
+    key rows on a non-conforming WAL."""
+    from pyspark.sql.window import Window
+
+    from ..operators.salting import winner_order
+
+    w = Window.partitionBy(*KEY_COLS).orderBy(*winner_order())
     return (
-        rows.join(win_lsn.hint("shuffle_hash"), [*KEY_COLS, "lsn"], "inner")
-        .groupBy(*KEY_COLS, "lsn")
-        .agg(*[F.first(c).alias(c) for c in payload])
+        rows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
         .select(*FILE_COLS)
     )
 
@@ -276,6 +273,36 @@ class SnapshotTable:
 
     # ------------------------------------------------------------- write
 
+    def _bucket_collapse(self, rows: DataFrame) -> DataFrame:
+        """The fused dedup+cluster shuffle every commit path shares:
+        repartition once on ``_bucket``, then a bucket-local winner
+        window — no further exchange, because HashPartitioning(_bucket)
+        satisfies the window's clustering (``_bucket`` leads its
+        partition spec), and the window's (bucket, key, winner-order)
+        sort doubles as the partitioned writer's required ordering, so
+        Catalyst elides the writer's own sort.  Output: ≤1 row per key
+        (deterministic under payload jitter — winner_order tie-break),
+        one clean file set per bucket.
+
+        Skew note: callers feed either pre-collapsed rows (stored
+        buckets, ≤1/key) or winners_join output (raw hot-key event
+        mass already dropped) or micro-batch-sized raw rows — in all
+        three, per-bucket sort input is bounded and hash-balanced.
+        """
+        from pyspark.sql.window import Window
+
+        from ..operators.salting import winner_order
+
+        bucketed = rows.withColumn(
+            "_bucket", bucket_expr(self.n_buckets)
+        ).repartition(F.col("_bucket"))
+        w = Window.partitionBy("_bucket", *KEY_COLS).orderBy(*winner_order())
+        return (
+            bucketed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def _write_commit_files(self, df: DataFrame, cluster: bool = False) -> list[dict]:
         """Write ``df`` (FILE_COLS + _bucket) bucket-partitioned; return
         manifest file entries.
@@ -366,15 +393,14 @@ class SnapshotTable:
         cur = self.manifest()
         rows = self._read_files([f["path"] for f in cur["files"]])
         # fold MOR deltas (and absorb any duplicate rows) back to ≤1 row
-        # per key — a no-op reduce on a clean COW layout
-        rows = lww_reduce(rows)
+        # per key — the bucket collapse is dedup + clustering in one
+        # shuffle, and a no-op reduce on a clean COW layout
+        rows = self._bucket_collapse(rows)
         if tombstone_horizon_lsn is not None:
             rows = rows.where(
                 (F.col("op") != "D") | (F.col("lsn") >= tombstone_horizon_lsn)
             )
-        entries = self._write_commit_files(
-            rows.withColumn("_bucket", bucket_expr(self.n_buckets)), cluster=True
-        )
+        entries = self._write_commit_files(rows)
         version = cur["version"] + 1
         lineage, truncated = _roll_lineage(
             cur,
@@ -493,18 +519,31 @@ class SnapshotTable:
         beyond the dedup watermark, in any later batch) is a no-op for
         that key.
 
-        Physical plan (rationale in operators/salting.py — payload-free
-        aggregation, shuffled-hash join-back, buffer-free distinct):
-        prune to affected buckets (file-level, via the manifest) →
-        union current bucket rows with the raw batch → salted narrow
-        ``max(lsn)`` winner search → join-back for payloads → distinct
-        (absorbs duplicate deliveries of a winning event AND a batch
-        row that ties the stored row on lsn — idempotent re-apply) →
-        rewrite only affected buckets.  Losers vanish; winners keep op
-        — op='D' rows persist as tombstones so the delete's lsn keeps
-        guarding the key.
+        Physical plans (all three paths end in the same fused
+        dedup+cluster bucket shuffle, ``_bucket_collapse``):
+
+        * **bootstrap** (empty table): salted narrow ``max(lsn)``
+          winner search + shuffled-hash join-back (raw hot-key skew is
+          defused HERE — operators/salting.py) → bucket collapse →
+          bucketed write.  Two payload shuffles over the log, one
+          clean file set per bucket.
+        * **MOR**: same shape over the micro-batch only; deltas
+          append, current data untouched, reads reduce, compact folds.
+        * **incremental COW**: union raw batch with the touched
+          buckets' stored rows → bucket collapse → rewrite affected
+          buckets.  ONE payload shuffle (round 1 paid three:
+          join-back + dedup agg + cluster repartition).  The raw
+          micro-batch skips the salted pre-collapse: at micro-batch
+          size a hot conversation's rows sort in-bucket for free,
+          and stored buckets are hash-balanced ≤1 row/key.
+
+        Losers vanish; winners keep op — op='D' rows persist as
+        tombstones so the delete's lsn keeps guarding the key.  A batch
+        row that ties the stored row on (key, lsn) — idempotent
+        re-apply, with or without payload jitter — resolves to exactly
+        one row via the deterministic winner order.
         """
-        from ..operators.salting import collapse_latest_salted
+        from ..operators.salting import winners_join
 
         cur = self.manifest()
         if _batch_applied(cur, batch_id):
@@ -515,9 +554,7 @@ class SnapshotTable:
             # collapse IS the whole merge — reduce the raw log and
             # stream it straight into the bucketed writer (no persist,
             # no affected-bucket collect, no union).
-            data = collapse_latest_salted(changes, n_salts=n_salts).withColumn(
-                "_bucket", bucket_expr(self.n_buckets)
-            )
+            data = self._bucket_collapse(winners_join(changes, n_salts=n_salts))
             new_entries = self._write_commit_files(data.select(*FILE_COLS, "_bucket"))
             affected = {e["bucket"] for e in new_entries}
             return self._commit_merge(
@@ -530,41 +567,20 @@ class SnapshotTable:
             # folds).  A micro-batch commit costs O(batch), never
             # O(affected buckets) — the COW floor of rewriting every
             # touched bucket per trigger disappears.
-            data = collapse_latest_salted(changes, n_salts=n_salts).withColumn(
-                "_bucket", bucket_expr(self.n_buckets)
-            )
-            new_entries = self._write_commit_files(
-                data.select(*FILE_COLS, "_bucket"), cluster=True
-            )
+            data = self._bucket_collapse(winners_join(changes, n_salts=n_salts))
+            new_entries = self._write_commit_files(data.select(*FILE_COLS, "_bucket"))
             affected = {e["bucket"] for e in new_entries}
             return self._commit_merge(
                 cur, list(cur["files"]), new_entries, batch_id, affected,
                 extra_lineage,
             )
 
-        # Incremental COW: collapse the raw batch first (salted — the
-        # raw log is where hot-key skew lives), then merge with the
-        # touched buckets' stored rows via ONE bucket-aligned shuffle.
-        # Both inputs are ≤1 row per (key, lsn) after the collapse, so
-        # per key the union holds ≤2 rows and a bucket-local window
-        # picks the winner without any further exchange:
-        # HashPartitioning(_bucket) satisfies the window's clustering
-        # because _bucket leads its partition spec, and the window's
-        # (bucket, key, lsn desc) sort doubles as the partitioned
-        # writer's required ordering.  Round 1 paid three full-payload
-        # shuffles here (join-back + dedup agg + cluster repartition);
-        # this is one (measured 25.1 s → see BENCH/BASELINE.md).
-        # Bucket skew is not a concern on this path: stored buckets are
-        # hash-balanced and the batch was already collapsed to ≤1 row
-        # per key.
-        from pyspark.sql.window import Window
-
-        batch_c = collapse_latest_salted(changes, n_salts=n_salts)
-        batch_c.persist()
+        batch_rows = changes.select(*FILE_COLS)
+        batch_rows.persist()
         try:
             affected = {
                 r["_bucket"]
-                for r in batch_c.select(
+                for r in batch_rows.select(
                     bucket_expr(self.n_buckets).alias("_bucket")
                 )
                 .distinct()
@@ -573,27 +589,13 @@ class SnapshotTable:
             keep = [f for f in cur["files"] if f["bucket"] not in affected]
             touch_paths = [f["path"] for f in cur["files"] if f["bucket"] in affected]
 
-            rows = self._read_files(touch_paths).unionByName(
-                batch_c.select(*FILE_COLS)
-            )
-            bucketed = rows.withColumn(
-                "_bucket", bucket_expr(self.n_buckets)
-            ).repartition(F.col("_bucket"))
-            w = (
-                Window.partitionBy("_bucket", *KEY_COLS)
-                .orderBy(F.desc("lsn"))
-            )
-            new_data = (
-                bucketed.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-            new_entries = self._write_commit_files(new_data)
+            rows = self._read_files(touch_paths).unionByName(batch_rows)
+            new_entries = self._write_commit_files(self._bucket_collapse(rows))
             return self._commit_merge(
                 cur, keep, new_entries, batch_id, affected, extra_lineage
             )
         finally:
-            batch_c.unpersist()
+            batch_rows.unpersist()
 
     def _commit_merge(
         self,

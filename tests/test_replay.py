@@ -222,3 +222,31 @@ def test_merge_on_read_mode(spark, tmp_path):
     reopened = SnapshotTable(spark, str(tmp_path / "mor"), n_buckets=4)
     assert reopened.mode == "mor"
     assert states_equal(reopened.read(), expected_state(full))
+
+
+def test_jittered_redelivery_degrades_to_single_winner(spark, tmp_table_dir):
+    """ADVICE r1: a redelivered winning event with payload jitter (a
+    non-conforming WAL) must yield exactly ONE row per key — an
+    arbitrary winner — never duplicate key rows.  lww_reduce dedups on
+    (key, lsn), not the full row."""
+    from pyspark.sql import functions as F
+
+    log = changes(spark, 500, n_conv=10, turns_per_conv=5, partitions=2)
+    # jittered duplicate of every event: same (key, lsn), different text
+    jitter = log.withColumn(
+        "text",
+        F.when(F.col("text").isNotNull(), F.concat(F.col("text"), F.lit("~j"))),
+    )
+    table = SnapshotTable(spark, tmp_table_dir, n_buckets=4)
+    replay(table, log.unionByName(jitter))
+    state = table.read()
+    dupes = (
+        state.groupBy("conv_id", "turn_idx")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+    )
+    assert dupes.isEmpty(), "jittered redelivery produced duplicate keys"
+    # and the surviving per-key row count matches the clean-log replay
+    clean = SnapshotTable(spark, tmp_table_dir + "_clean", n_buckets=4)
+    replay(clean, log)
+    assert state.count() == clean.read().count()
