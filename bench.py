@@ -46,7 +46,7 @@ def _scratch_base() -> str | None:
     return "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 
-def bench_cdc(spark, n_events: int, n_buckets: int = 32, partitions: int = 64,
+def bench_cdc(spark, n_events: int, n_buckets: int = 128, partitions: int = 64,
               warmup: bool = True,
               reps: int = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))):
     from schema_matching_spark.operators.apply import replay

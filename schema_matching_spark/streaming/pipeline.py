@@ -48,6 +48,8 @@ def start_cdc_stream(
     n_salts: int = 16,
     available_now: bool = True,
     evolver=None,
+    maintenance_every: int | None = None,
+    keep_snapshots: int = 5,
 ) -> StreamingQuery:
     """Start the CDC apply stream.  ``available_now=True`` runs a bounded
     catch-up pass (processes everything currently in the WAL, then
@@ -57,9 +59,22 @@ def start_cdc_stream(
     ``evolver``: optional callable ``(batch_df) -> batch_df`` inserted
     before the collapse — the schema-evolution mapper (B7) hooks in
     here (see operators/evolve.make_aligner).
+
+    ``maintenance_every``: if set, every N applied micro-batches the
+    sink runs ``table.compact()`` (folds MOR deltas / small files) and
+    ``table.expire_snapshots(keep_snapshots)`` (drops old manifests and
+    orphaned data files).  This is what makes a 10^10-event stream's
+    storage BOUNDED end-to-end: without it, every commit leaves its
+    replaced files behind for time travel forever.  Maintenance is idempotent
+    and crash-safe (snapshot-isolated compact commit; GC deletes
+    manifests before data files), so a crash mid-maintenance at worst
+    leaves collectable garbage.  On a cluster this would run as a
+    separate scheduled job; running it inline every N triggers gives
+    the same bound.
     """
     stream = read_stream(spark, wal_dir, max_files_per_trigger)
     deduped = dedup_stream(stream, watermark=watermark)
+    applied_since_maintenance = {"n": 0}
 
     def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
         if evolver is not None:
@@ -80,6 +95,12 @@ def start_cdc_stream(
             }
 
         table.merge_apply(observed, batch_id, n_salts=n_salts, extra_lineage=lineage)
+        if maintenance_every:
+            applied_since_maintenance["n"] += 1
+            if applied_since_maintenance["n"] >= maintenance_every:
+                applied_since_maintenance["n"] = 0
+                table.compact()
+                table.expire_snapshots(keep_n=keep_snapshots)
 
     writer = (
         deduped.writeStream.foreachBatch(apply_fn)

@@ -131,3 +131,42 @@ def test_expire_after_compact_gc_folds_everything(spark, tmp_path):
         )
     assert on_disk == live
     assert content_hash(table.read()) == h
+
+
+def test_stream_with_inline_maintenance_bounds_storage(spark, tmp_path):
+    """The 10^10-scale storage story end-to-end: a stream that compacts
+    + expires every N batches keeps the manifest at O(bucket-count)
+    files and the data dir at O(live-set) bytes, while the final state
+    stays bit-identical to the maintenance-free replay."""
+    from schema_matching_spark.sources.wal import write_segments
+    from schema_matching_spark.streaming.pipeline import run_stream_to_completion
+
+    log = changes(spark, 2000, n_conv=30, turns_per_conv=8, partitions=2).cache()
+    exp = expected_state(log).cache()
+    wal = str(tmp_path / "wal")
+    write_segments(log, wal, n_segments=8)
+
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    run_stream_to_completion(
+        spark, wal, table, str(tmp_path / "ckpt"),
+        maintenance_every=3, keep_snapshots=2,
+    )
+    assert states_equal(table.read(), exp)
+    assert content_hash(table.read()) == content_hash(exp)
+    # compact folded the MOR deltas: live file count is O(n_buckets),
+    # not O(batches x buckets)
+    m = table.manifest()
+    assert len(m["files"]) <= 3 * table.n_buckets, len(m["files"])
+    # expiry kept the snapshot dir bounded
+    snaps = os.listdir(str(tmp_path / "t" / "snapshots"))
+    assert len(snaps) <= 2 + 3  # keep_n + commits since last maintenance
+    # on-disk parquet ~= live set (no unbounded garbage)
+    live = {f["path"] for f in m["files"]}
+    on_disk = []
+    for dirpath, _d, files in os.walk(str(tmp_path / "t" / "data")):
+        on_disk.extend(
+            os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
+        )
+    orphans = [p for p in on_disk if p not in live]
+    # only files younger than the last expiry can be non-live
+    assert len(orphans) <= 3 * table.n_buckets, len(orphans)

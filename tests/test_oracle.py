@@ -63,5 +63,16 @@ def test_query_matches_oracle(spark, duck, name):
         f"{name}: columns {sorted(actual.columns)} vs {sorted(expected.columns)}"
     )
     assert len(actual) == len(expected), f"{name}: {len(actual)} vs {len(expected)} rows"
+    # dtype-KIND equality: the driver hashes rendered values, so int64
+    # 9994 vs float64 9994.0 (DuckDB HUGEINT/DOUBLE artifacts) fails its
+    # gate even when numerically equal — catch that here, not in
+    # CORRECTNESS_r{N} (round-1 lesson; scripts/strict_oracle_check.py
+    # is the full strict mirror)
+    for c in actual.columns:
+        ak, ek = actual[c].dtype.kind, expected[c].dtype.kind
+        assert ak == ek, (
+            f"{name}: dtype kind mismatch on {c}: "
+            f"{actual[c].dtype} vs {expected[c].dtype}"
+        )
     a, e = _normalize(actual), _normalize(expected)
     pd.testing.assert_frame_equal(a, e, check_dtype=False, check_exact=False, rtol=1e-5)
