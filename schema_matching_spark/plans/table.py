@@ -566,8 +566,12 @@ class SnapshotTable:
             # files; current data is untouched (reads reduce, compact()
             # folds).  A micro-batch commit costs O(batch), never
             # O(affected buckets) — the COW floor of rewriting every
-            # touched bucket per trigger disappears.
-            data = self._bucket_collapse(winners_join(changes, n_salts=n_salts))
+            # touched bucket per trigger disappears.  The bucket window
+            # alone is the complete LWW reduce here (like the COW
+            # incremental path): a micro-batch's hot-key mass is bounded
+            # by the batch size, so the salted winners_join pre-pass
+            # would only add two shuffles of the same rows.
+            data = self._bucket_collapse(changes.select(*FILE_COLS))
             new_entries = self._write_commit_files(data.select(*FILE_COLS, "_bucket"))
             affected = {e["bucket"] for e in new_entries}
             return self._commit_merge(
