@@ -425,6 +425,71 @@ class SnapshotTable:
             }
         )
 
+    # -------------------------------------------------- metadata views
+    # Iceberg exposes table metadata as queryable relations
+    # (`db.t.history`, `db.t.snapshots`, `db.t.files`); these are the
+    # engine's equivalents, so operational queries ("which batch built
+    # snapshot 12", "bytes per bucket") stay in the DataFrame API.
+
+    def history(self) -> DataFrame:
+        """Lineage entries of the current manifest as a DataFrame
+        (op, version, batch_id, wall_ts, ... one row per retained
+        commit; older history lives in expired manifests)."""
+        m = self.manifest()
+        rows = [
+            (
+                e.get("op"),
+                int(e.get("version", 0)),
+                str(e.get("batch_id")) if e.get("batch_id") is not None else None,
+                float(e.get("wall_ts", 0.0)),
+                int(e.get("input_rows")) if e.get("input_rows") is not None else None,
+            )
+            for e in m["lineage"]
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "op string, version int, batch_id string, wall_ts double, "
+            "input_rows long",
+        )
+
+    def snapshots(self) -> DataFrame:
+        """One row per retained snapshot manifest on disk."""
+        snap_dir = os.path.join(self.root, "snapshots")
+        rows = []
+        for fn in sorted(os.listdir(snap_dir)):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            v = int(fn[1:-5])
+            m = self.manifest(v)
+            rows.append(
+                (
+                    v,
+                    int(m.get("parent", 0)),
+                    m.get("mode", "cow"),
+                    len(m["files"]),
+                    v == self.current_version(),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, parent int, mode string, n_files int, is_current boolean",
+        )
+
+    def files(self, version: int | None = None) -> DataFrame:
+        """Data files of a snapshot with bucket and on-disk size."""
+        m = self.manifest(version)
+        rows = [
+            (
+                f["path"],
+                int(f["bucket"]),
+                os.path.getsize(f["path"]) if os.path.exists(f["path"]) else None,
+            )
+            for f in m["files"]
+        ]
+        return self.spark.createDataFrame(
+            rows, "path string, bucket int, size_bytes long"
+        )
+
     # ------------------------------------------------------ maintenance
 
     def expire_snapshots(self, keep_n: int = 5) -> dict:

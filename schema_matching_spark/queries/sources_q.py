@@ -172,11 +172,100 @@ ORDER BY event_type
 """
 
 
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks + event-time range
+    (view→purchase attribution: same user, purchase within 1 hour of a
+    view).  Both sides are genuine readStreams over re-materialized
+    segment files; the interval condition bounds the join state so the
+    query runs with finite memory on an unbounded stream — the
+    Structured Streaming surface a CDC enrichment join uses.  Joined
+    pairs land append-mode in a memory sink; the returned aggregate
+    must equal the batch oracle (micro-batch boundaries and watermark
+    scheduling must not change the join result on a drained stream)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        # watermarks require TIMESTAMP (not NTZ); session TZ is UTC so
+        # the cast is value-preserving
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    src = _scratch(sf_dir, "events_ssj_src")
+    ev.where(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(src, "seg0")
+    )
+    ev.where(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+        os.path.join(src, "seg1")
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    views = (
+        stream()
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    buys = (
+        stream()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    pairs = views.join(
+        buys,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    sink = f"stream_stream_join_result_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("v_user").alias("n_users"),
+        F.sum(F.col("v_id") + F.col("p_id")).alias("id_sum"),
+    )
+
+
+SQL_STREAM_STREAM_JOIN = """
+SELECT count(*) AS n_pairs,
+       count(DISTINCT v.user_id) AS n_users,
+       CAST(sum(v.event_id + p.event_id) AS BIGINT) AS id_sum
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+"""
+
+
 QUERIES = {
     "csv_source": q_csv_source,
     "json_source": q_json_source,
     "partition_pruned_scan": q_partition_pruned_scan,
     "stream_aggregate": q_stream_aggregate,
+    "stream_stream_join": q_stream_stream_join,
 }
 
 ORACLE = {
@@ -184,4 +273,5 @@ ORACLE = {
     "json_source": SQL_JSON_SOURCE,
     "partition_pruned_scan": SQL_PARTITION_PRUNED,
     "stream_aggregate": SQL_STREAM_AGGREGATE,
+    "stream_stream_join": SQL_STREAM_STREAM_JOIN,
 }

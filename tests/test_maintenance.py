@@ -170,3 +170,34 @@ def test_stream_with_inline_maintenance_bounds_storage(spark, tmp_path):
     orphans = [p for p in on_disk if p not in live]
     # only files younger than the last expiry can be non-live
     assert len(orphans) <= 3 * table.n_buckets, len(orphans)
+
+
+def test_metadata_views(spark, tmp_path):
+    """Iceberg-parity metadata relations: history / snapshots / files."""
+    log = changes(spark, 600, n_conv=10, turns_per_conv=6, partitions=2)
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4)
+    for i in range(3):
+        batch = log.where(
+            (F.col("lsn") >= i * 200) & (F.col("lsn") < (i + 1) * 200)
+        )
+        apply_batch(table, batch, batch_id=i)
+
+    hist = table.history().collect()
+    assert [r["version"] for r in hist] == [1, 2, 3]
+    assert all(r["op"] == "merge" for r in hist)
+    assert {r["batch_id"] for r in hist} == {"0", "1", "2"}
+
+    snaps = {r["version"]: r for r in table.snapshots().collect()}
+    assert set(snaps) == {1, 2, 3}
+    assert snaps[3]["is_current"] and not snaps[1]["is_current"]
+    assert snaps[3]["parent"] == 2
+
+    files = table.files().collect()
+    assert len(files) == len(table.manifest()["files"])
+    assert all(r["size_bytes"] and r["size_bytes"] > 0 for r in files)
+    assert {r["bucket"] for r in files} <= set(range(4))
+    # files() of an expired snapshot version raises like Iceberg's
+    # time-travel-past-expiry
+    table.expire_snapshots(keep_n=1)
+    with pytest.raises(FileNotFoundError):
+        table.files(1)
