@@ -1,0 +1,96 @@
+"""Connected components over a pair list — the step that turns
+pairwise near-dup output (MinHash/SimHash/embedding pairs) into
+canonical duplicate CLUSTERS, so a corpus dedup can keep exactly one
+representative per group instead of reasoning about pairs.
+
+Algorithm: iterative min-label propagation ("hash-to-min") expressed
+relationally — per round, every node adopts the smallest label among
+itself and its neighbors:
+
+    labels(x) <- min(labels(x), min over (x,y) in E of labels(y))
+
+Each round is one join + one narrow hash aggregate over (node, label)
+longs; convergence is detected with a single count of changed labels.
+Rounds needed = graph diameter.  Near-dup graphs are near-cliques
+(planted duplicates all share high-similarity edges), so diameter is
+tiny (2-4) and this beats the constant-factor-heavier
+large-star/small-star alternation (Kiveris et al., "Connected
+Components in MapReduce and Beyond") — which is the drop-in upgrade if
+a workload ever presents adversarially long chains (its rounds are
+O(log^2 n) regardless of diameter).  Lineage is cut with
+localCheckpoint every round so 20 iterations do not build a
+20-deep recursive plan.
+
+Scale posture: state per round is the (node bigint, label bigint)
+frame — 16 bytes/node before compression — shuffled on node id; no
+driver-side graph materialization, only a scalar changed-count per
+round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node reachable through ``pairs`` with the minimum
+    node id of its component.  Returns (node, component).
+
+    ``pairs`` rows are undirected edges; isolated nodes (absent from
+    ``pairs``) are simply absent from the output — callers union in
+    singletons if they need total coverage.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(sym["a"].alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.where(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def cluster_stats(components: DataFrame) -> DataFrame:
+    """One row: cluster count / sizes over a (node, component) frame."""
+    per = components.groupBy("component").agg(F.count("*").alias("sz"))
+    return per.agg(
+        F.count("*").alias("n_clusters"),
+        F.max("sz").alias("max_cluster_size"),
+        F.sum("sz").alias("n_clustered_docs"),
+    )

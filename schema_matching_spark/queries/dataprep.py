@@ -392,8 +392,27 @@ ORDER BY d.lang, p.pred_lang
 """
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: MinHash+LSH pairs → connected components →
+    canonical duplicate groups + cluster-size stats — the step a corpus
+    dedup runs after pair generation so it keeps one representative per
+    group (keep = min doc_id per component).  Rows-only (xxhash64 LSH
+    upstream); exact component labels are pinned on known graphs in
+    tests/test_graph.py."""
+    from ..functions.graph import cluster_stats, connected_components
+
+    corpus = _with_planted_near_dups(_docs(spark, sf_dir))
+    sigs = T.minhash_signatures_text(corpus, "doc_id", "text", k=5, n_hashes=32)
+    cand = T.lsh_band_pairs(sigs, "doc_id", "sig", n_bands=8, rows_per_band=4)
+    shr = T.shingle_hash_rows(corpus, "doc_id", "text", k=5)
+    dup_pairs = T.jaccard_pairs(shr, cand).where(F.col("jac") >= 0.6)
+    comps = connected_components(dup_pairs, "id_a", "id_b")
+    return cluster_stats(comps)
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
+    "near_dup_clusters": q_near_dup_clusters,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
