@@ -392,6 +392,100 @@ ORDER BY d.lang, p.pred_lang
 """
 
 
+def q_text_normalize(spark, sf_dir):
+    """Text normalization (the cleaning pass before dedup/tokenizing):
+    lowercase, strip non-alnum punctuation, collapse whitespace runs —
+    all JVM built-ins, verified byte-identical against the oracle via
+    per-doc hashes so the driver checks the TRANSFORM, not just stats."""
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        d.select("doc_id", norm.alias("norm"))
+        .select(
+            "doc_id",
+            F.length("norm").alias("n_chars"),
+            F.md5(F.col("norm").cast("binary")).alias("norm_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TEXT_NORMALIZE = """
+SELECT doc_id,
+       length(norm) AS n_chars,
+       md5(norm) AS norm_md5
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction shape: regex-scrub email-like and long-digit-run
+    tokens to sentinels, report per-source hit counts + redacted-corpus
+    checksum.  The patterns are simple by design — the query pins the
+    scrub PLUMBING (regexp_count/regexp_replace at corpus scale, all
+    codegen) with an exact oracle."""
+    d = _docs(spark, sf_dir)
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    digits_re = r"\d{6,}"
+    red = F.regexp_replace(
+        F.regexp_replace("text", email_re, "<EMAIL>"), digits_re, "<NUM>"
+    )
+    return (
+        d.select(
+            "source",
+            F.regexp_count("text", F.lit(email_re)).alias("n_email"),
+            F.regexp_count("text", F.lit(digits_re)).alias("n_digitruns"),
+            F.md5(red.cast("binary")).alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_email").alias("emails_redacted"),
+            F.sum("n_digitruns").alias("digit_runs_redacted"),
+            F.countDistinct("h").alias("n_distinct_redacted"),
+            F.max("h").alias("max_redacted_md5"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_PII_REDACT = """
+SELECT source,
+       CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+       CAST(sum(n_digitruns) AS BIGINT) AS digit_runs_redacted,
+       count(DISTINCT h) AS n_distinct_redacted,
+       max(h) AS max_redacted_md5,
+       count(*) AS n_docs
+FROM (
+  SELECT source,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text, '\\d{6,}')) AS n_digitruns,
+         md5(regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\\d{6,}', '<NUM>', 'g')) AS h
+  FROM documents
+)
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: MinHash+LSH pairs → connected components →
     canonical duplicate groups + cluster-size stats — the step a corpus
@@ -413,6 +507,8 @@ def q_near_dup_clusters(spark, sf_dir):
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "near_dup_clusters": q_near_dup_clusters,
+    "text_normalize": q_text_normalize,
+    "pii_redact": q_pii_redact,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
@@ -424,6 +520,8 @@ QUERIES = {
 
 ORACLE = {
     "exact_dedup": SQL_EXACT_DEDUP,
+    "text_normalize": SQL_TEXT_NORMALIZE,
+    "pii_redact": SQL_PII_REDACT,
     "token_stats": SQL_TOKEN_STATS,
     "quality_scores": SQL_QUALITY,
     "fingerprints": SQL_FINGERPRINTS,
