@@ -155,14 +155,92 @@ LIMIT 50
 """
 
 
+def q_cogrouped_asof(spark, sf_dir):
+    """Co-grouped applyInPandas (``groupBy().cogroup(...)``): the
+    two-sided Arrow surface — per customer-key, a pandas ``merge_asof``
+    aligns each order to the most recent event of the same key bucket.
+    This is the canonical custom-op shape Spark lacks natively (keyed
+    as-of between two frames) done the input_hint way: both sides
+    arrive as pandas frames per key, vectorized merge, no per-row
+    Python.  Oracle: correlated max-under-bound subquery."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod("user_id", F.lit(50)).alias("k"),
+        F.col("ts").cast("timestamp").alias("ets"),
+        "event_id",
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.pmod("o_custkey", F.lit(50)).alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("ots"),
+        "o_orderkey",
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["k", "o_orderkey", "last_event_id"]
+            ).astype({"k": "int64", "o_orderkey": "int64", "last_event_id": "float64"})
+        left = left.sort_values("ots", kind="mergesort")
+        # secondary event_id sort: merge_asof takes the LAST row at
+        # equal ts, so this pins ties to max event_id (oracle mirrors)
+        right = right.sort_values(["ets", "event_id"], kind="mergesort")
+        m = pd.merge_asof(
+            left,
+            right[["ets", "event_id"]],
+            left_on="ots",
+            right_on="ets",
+            direction="backward",
+        )
+        return m[["k", "o_orderkey"]].assign(last_event_id=m["event_id"])
+
+    out = (
+        ev.groupBy("k")
+        .cogroup(orders.groupBy("k"))
+        .applyInPandas(
+            lambda ev_pdf, o_pdf: asof(o_pdf, ev_pdf),
+            schema="k int, o_orderkey long, last_event_id double",
+        )
+    )
+    return (
+        out.groupBy()
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("last_event_id").isNull(), 1).otherwise(0)).alias(
+                "n_no_event"
+            ),
+            F.sum(F.col("last_event_id").cast("long")).alias("event_id_sum"),
+        )
+    )
+
+
+SQL_COGROUPED_ASOF = """
+WITH e AS (SELECT user_id % 50 AS k, ts, event_id FROM events),
+     o AS (SELECT o_custkey % 50 AS k, CAST(o_orderdate AS TIMESTAMP) AS ots,
+                  o_orderkey FROM orders),
+     j AS (
+       SELECT o.o_orderkey,
+              (SELECT event_id FROM e
+               WHERE e.k = o.k AND e.ts <= o.ots
+               ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS last_event_id
+       FROM o
+     )
+SELECT count(*) AS n_orders,
+       CAST(sum(CASE WHEN last_event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_no_event,
+       CAST(sum(last_event_id) AS BIGINT) AS event_id_sum
+FROM j
+"""
+
+
 QUERIES = {
     "pandas_udaf_weighted": q_pandas_udaf_weighted,
     "grouped_map_zscore": q_grouped_map_zscore,
     "udtf_bigrams": q_udtf_bigrams,
+    "cogrouped_asof": q_cogrouped_asof,
 }
 
 ORACLE = {
     "pandas_udaf_weighted": SQL_PANDAS_UDAF,
     "grouped_map_zscore": SQL_GROUPED_MAP_ZSCORE,
     "udtf_bigrams": SQL_UDTF_BIGRAMS,
+    "cogrouped_asof": SQL_COGROUPED_ASOF,
 }
