@@ -382,16 +382,30 @@ class SnapshotTable:
             }
         )
 
-    def compact(self, tombstone_horizon_lsn: int | None = None) -> int:
-        """Maintenance: rewrite the table dropping tombstones whose lsn
+    def compact(
+        self,
+        tombstone_horizon_lsn: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> int:
+        """Maintenance: rewrite table data dropping tombstones whose lsn
         is below the redelivery horizon (i.e. no event that old can
         still arrive), merging small files per bucket in the process.
 
-        At 100 TB this runs per-bucket-range on a schedule; here it is a
-        single rewrite.  Readers are unaffected (snapshot isolation via
-        the pointer)."""
+        ``buckets`` limits the rewrite to a bucket subset — at 100 TB
+        compaction runs as a rolling schedule over bucket ranges (e.g.
+        256 of 8192 buckets per run) so no single maintenance job
+        touches the whole table; untouched buckets' files are carried
+        forward in the new manifest unchanged.  Readers are unaffected
+        either way (snapshot isolation via the pointer)."""
         cur = self.manifest()
-        rows = self._read_files([f["path"] for f in cur["files"]])
+        if buckets is not None:
+            in_scope = set(buckets)
+            keep = [f for f in cur["files"] if f["bucket"] not in in_scope]
+            todo = [f["path"] for f in cur["files"] if f["bucket"] in in_scope]
+        else:
+            keep = []
+            todo = [f["path"] for f in cur["files"]]
+        rows = self._read_files(todo)
         # fold MOR deltas (and absorb any duplicate rows) back to ≤1 row
         # per key — the bucket collapse is dedup + clustering in one
         # shuffle, and a no-op reduce on a clean COW layout
@@ -408,6 +422,7 @@ class SnapshotTable:
                 "op": "compact",
                 "version": version,
                 "tombstone_horizon_lsn": tombstone_horizon_lsn,
+                "buckets": sorted(buckets) if buckets is not None else None,
                 "wall_ts": time.time(),
             },
         )
@@ -417,7 +432,7 @@ class SnapshotTable:
                 "parent": cur["version"],
                 "n_buckets": self.n_buckets,
                 "mode": self._mode,
-                "files": entries,
+                "files": keep + entries,
                 "applied_batches": dict(cur["applied_batches"]),
                 "applied_evicted_high_water": cur.get("applied_evicted_high_water"),
                 "lineage": lineage,

@@ -201,3 +201,35 @@ def test_metadata_views(spark, tmp_path):
     table.expire_snapshots(keep_n=1)
     with pytest.raises(FileNotFoundError):
         table.files(1)
+
+
+def test_bucket_range_compaction(spark, tmp_path):
+    """Rolling compaction over bucket subsets (the 100 TB schedule
+    shape): two half-range compacts equal one full compact, untouched
+    buckets carry forward unchanged, state stays bit-identical."""
+    log = changes(spark, 800, n_conv=20, turns_per_conv=8, partitions=2)
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    for i in range(4):
+        batch = log.where(
+            (F.col("lsn") >= i * 200) & (F.col("lsn") < (i + 1) * 200)
+        )
+        apply_batch(table, batch, batch_id=i)
+    h = content_hash(table.read())
+    files_before = {f["path"] for f in table.manifest()["files"]}
+
+    table.compact(buckets=[0, 1])
+    m = table.manifest()
+    # buckets 2,3 files untouched (carried forward), 0,1 rewritten
+    carried = {f["path"] for f in m["files"] if f["bucket"] in (2, 3)}
+    rewritten = {f["path"] for f in m["files"] if f["bucket"] in (0, 1)}
+    assert carried <= files_before
+    assert rewritten.isdisjoint(files_before)
+    assert content_hash(table.read()) == h
+
+    table.compact(buckets=[2, 3])
+    m2 = table.manifest()
+    # after both halves: one file set per bucket, all deltas folded
+    assert len(m2["files"]) <= 2 * table.n_buckets
+    assert content_hash(table.read()) == h
+    hist = table.history().collect()
+    assert [r["op"] for r in hist[-2:]] == ["compact", "compact"]
