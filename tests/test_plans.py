@@ -171,3 +171,45 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_exact_dedup_shuffles_hashes_not_text(spark):
+    """Scale pin (VERDICT r1): the exact-dedup groupBy must key on the
+    map-side content hashes, never the full text — the shuffle payload
+    is ~50 bytes/row regardless of document size."""
+    from schema_matching_spark.queries.dataprep import q_exact_dedup
+
+    df = q_exact_dedup(spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    assert "hashpartitioning(h64" in plan, plan[:2000]
+    assert "hashpartitioning(text" not in plan
+
+
+def test_bucket_collapse_is_single_exchange(spark):
+    """plans/table.py _bucket_collapse: dedup + clustering must share
+    ONE shuffle — the window's clustering is satisfied by the bucket
+    repartition, so no second Exchange may appear."""
+    from schema_matching_spark.plans.table import SnapshotTable
+    from schema_matching_spark.sources.generator import changes
+
+    import tempfile
+
+    log = changes(spark, 5_000, n_conv=30, turns_per_conv=10, partitions=4)
+    table = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="bcp_"), n_buckets=8
+    )
+    out = table._bucket_collapse(log.select(*__import__(
+        "schema_matching_spark.plans.table", fromlist=["FILE_COLS"]
+    ).FILE_COLS))
+    out.collect()
+    plan = _plan(out)
+    # formatted AQE output repeats the tree (final + initial + operator
+    # details) — count Exchanges in the FINAL tree only
+    final_tree = plan.split("== Initial Plan ==")[0]
+    n_exchanges = sum(
+        1 for line in final_tree.splitlines() if line.strip().endswith("Exchange")
+        or "+- Exchange" in line
+    )
+    assert "Window" in final_tree
+    assert n_exchanges == 1, f"expected 1 Exchange, final tree:\n{final_tree}"
