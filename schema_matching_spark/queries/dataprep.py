@@ -504,8 +504,102 @@ def q_near_dup_clusters(spark, sf_dir):
     return cluster_stats(comps)
 
 
+def q_corpus_curation(spark, sf_dir):
+    """The end-to-end curation pipeline a training-data run executes,
+    as ONE oracled query: normalize → quality gate → content-hash
+    dedup → per-language yield accounting.  Every stage is JVM
+    built-ins; the dedup groups on md5(norm) so the shuffle carries a
+    32-byte hash + doc_id per row (same scale posture as
+    q_exact_dedup).  The yield ledger (kept / dropped-by-quality /
+    dropped-as-dup, surviving token count) is what a curation run
+    reports per shard at 100 TB."""
+    corpus = _with_planted_exact_dups(_docs(spark, sf_dir))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+    staged = corpus.select(
+        "doc_id",
+        "lang",
+        norm.alias("norm"),
+        F.size(F.split(norm, " ")).alias("n_tok"),
+    )
+    gated = staged.withColumn("q_ok", F.col("n_tok") >= 5)
+    survivors = (
+        gated.where("q_ok")
+        .groupBy(F.md5("norm").alias("h"), "lang")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.first("n_tok").alias("n_tok"),
+        )
+    )
+    return (
+        gated.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_in"),
+            F.sum(F.when(~F.col("q_ok"), 1).otherwise(0)).alias("dropped_quality"),
+        )
+        .join(
+            survivors.groupBy("lang").agg(
+                F.count("*").alias("n_kept"),
+                F.sum(F.col("n_copies") - 1).alias("dropped_dup"),
+                F.sum("n_tok").alias("kept_tokens"),
+            ),
+            "lang",
+        )
+        .select(
+            "lang", "n_in", "dropped_quality", "dropped_dup", "n_kept",
+            "kept_tokens",
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_CORPUS_CURATION = """
+WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id % 7 = 0
+), staged AS (
+  SELECT doc_id, lang, norm,
+         len(str_split(norm, ' ')) AS n_tok
+  FROM (
+    SELECT doc_id, lang,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+    FROM corpus
+  )
+), gated AS (
+  SELECT *, n_tok >= 5 AS q_ok FROM staged
+), survivors AS (
+  SELECT md5(norm) AS h, lang, min(doc_id) AS keep_id,
+         count(*) AS n_copies, min(n_tok) AS n_tok
+  FROM gated WHERE q_ok
+  GROUP BY 1, 2
+)
+SELECT g.lang, g.n_in, g.dropped_quality, s.dropped_dup, s.n_kept,
+       s.kept_tokens
+FROM (
+  SELECT lang, count(*) AS n_in,
+         CAST(sum(CASE WHEN NOT q_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_quality
+  FROM gated GROUP BY lang
+) g
+JOIN (
+  SELECT lang, count(*) AS n_kept,
+         CAST(sum(n_copies - 1) AS BIGINT) AS dropped_dup,
+         CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+  FROM survivors GROUP BY lang
+) s USING (lang)
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
+    "corpus_curation": q_corpus_curation,
     "near_dup_clusters": q_near_dup_clusters,
     "text_normalize": q_text_normalize,
     "pii_redact": q_pii_redact,
@@ -520,6 +614,7 @@ QUERIES = {
 
 ORACLE = {
     "exact_dedup": SQL_EXACT_DEDUP,
+    "corpus_curation": SQL_CORPUS_CURATION,
     "text_normalize": SQL_TEXT_NORMALIZE,
     "pii_redact": SQL_PII_REDACT,
     "token_stats": SQL_TOKEN_STATS,
