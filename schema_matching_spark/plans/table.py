@@ -268,6 +268,34 @@ class SnapshotTable:
     def time_travel(self, version: int) -> DataFrame:
         return self.read(version)
 
+    def lookup(self, conv_id: str, version: int | None = None) -> DataFrame:
+        """Point read of one conversation: manifest-level bucket
+        pruning (open ONLY the files of conv_id's hash bucket —
+        1/n_buckets of the table regardless of size) + a parquet
+        predicate on conv_id inside them.  The per-key read path an
+        online serving layer uses against the same table; at 8192
+        buckets on 100 TB this touches ~12 GB of files, not 100 TB,
+        and row-group pruning inside the sorted files cuts further
+        (commit files are sorted by (bucket, conv_id, turn_idx), so
+        min/max stats bracket the conversation tightly)."""
+        m = self.manifest(version)
+        # evaluate the bucket id driver-side with the SAME expression
+        # the writer used (never reimplement the hash in Python)
+        b = (
+            self.spark.createDataFrame([(conv_id,)], "conv_id string")
+            .select(bucket_expr(self.n_buckets).alias("b"))
+            .collect()[0]["b"]
+        )
+        paths = [f["path"] for f in m["files"] if f["bucket"] == b]
+        rows = self._read_files(paths).where(F.col("conv_id") == conv_id)
+        if m.get("mode", "cow") == "mor":
+            rows = lww_reduce(rows)
+        return (
+            rows.where(F.col("op") != "D")
+            .select(*TRANSCRIPT_COLS)
+            .orderBy("turn_idx")
+        )
+
     def applied_batches(self) -> dict:
         return self.manifest()["applied_batches"]
 

@@ -233,3 +233,34 @@ def test_bucket_range_compaction(spark, tmp_path):
     assert content_hash(table.read()) == h
     hist = table.history().collect()
     assert [r["op"] for r in hist[-2:]] == ["compact", "compact"]
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    """lookup(conv_id): manifest-level bucket pruning + correct turns
+    in order, on both COW and MOR tables."""
+    from schema_matching_spark.sources.generator import expected_state
+
+    log = changes(spark, 1500, n_conv=25, turns_per_conv=8, partitions=2).cache()
+    exp = expected_state(log).cache()
+    some_conv = exp.select("conv_id").first()["conv_id"]
+    expected_rows = [
+        (r["turn_idx"], r["text"])
+        for r in exp.where(F.col("conv_id") == some_conv)
+        .orderBy("turn_idx")
+        .collect()
+    ]
+    for mode in ("cow", "mor"):
+        table = SnapshotTable(
+            spark, str(tmp_path / mode), n_buckets=8, mode=mode
+        )
+        for i in range(3):
+            batch = log.where(
+                (F.col("lsn") >= i * 500) & (F.col("lsn") < (i + 1) * 500)
+            )
+            apply_batch(table, batch, batch_id=i)
+        got = [
+            (r["turn_idx"], r["text"]) for r in table.lookup(some_conv).collect()
+        ]
+        assert got == expected_rows, mode
+        # a conversation that doesn't exist returns empty, not an error
+        assert table.lookup("conv-nope").isEmpty()
