@@ -87,9 +87,72 @@ def q_schema_evolution_mapping(spark, sf_dir):
     return spark.createDataFrame(rows, ["incoming_col", "mapped_to"])
 
 
+def q_image_dedup(spark, sf_dir):
+    """REAL image near-dup pipeline, zero codec deps: deterministic
+    rawimg/v1 corpus (self-describing header + raw RGB) → decode →
+    grayscale → 9x8 nearest resize → 64-bit dHash (all real numpy in
+    one Arrow pass) → relational groupBy on the perceptual hash finds
+    2x-upscaled copies that byte hashes cannot match.  Rows-only (the
+    corpus is engine-generated); planted-recall asserted in
+    tests/test_multimodal.py."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..functions.multimodal import (
+        ASSET_SCHEMA,
+        decode_rawimg,
+        encode_rawimg,
+        image_features,
+        resize_nearest,
+        synthetic_images,
+    )
+
+    base = synthetic_images(spark, 250)
+
+    def upscale(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, kind, payload in zip(
+                pdf["asset_id"], pdf["kind"], pdf["payload"]
+            ):
+                arr = decode_rawimg(bytes(payload))
+                up = resize_nearest(arr, arr.shape[0] * 2, arr.shape[1] * 2)
+                p2 = encode_rawimg(up)
+                rows.append(
+                    (int(aid) + 10000, kind, p2, len(p2),
+                     up.shape[1], up.shape[0], None)
+                )
+            yield _pd.DataFrame(
+                rows, columns=[f.name for f in ASSET_SCHEMA.fields]
+            )
+
+    planted = base.where(F.pmod("asset_id", F.lit(5)) == 0).mapInPandas(
+        upscale, schema=ASSET_SCHEMA
+    )
+    feats = image_features(base.unionByName(planted))
+    groups = feats.groupBy("dhash").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("asset_id") >= 10000, 1).otherwise(0)).alias(
+            "n_planted"
+        ),
+        F.min("asset_id").alias("canonical"),
+    )
+    return groups.agg(
+        F.count("*").alias("n_hash_groups"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum("n_planted").alias("n_planted_total"),
+        F.sum(
+            F.when((F.col("n") > 1) & (F.col("n_planted") > 0), F.col("n_planted"))
+            .otherwise(0)
+        ).alias("n_planted_matched"),
+    )
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
     "frame_sample": q_frame_sample,
     "schema_evolution_mapping": q_schema_evolution_mapping,
+    "image_dedup": q_image_dedup,
 }
 ORACLE = {"multimodal_features": SQL_MULTIMODAL}

@@ -74,3 +74,66 @@ def test_frame_sampling_math(spark):
         expect = float(np.frombuffer(payload[lo:lo + 64], dtype=np.uint8).mean())
         assert abs(r["mean_byte"] - expect) < 1e-9
         assert r["n_bytes"] == 64
+
+
+# ------------------------------------------------ rawimg real pipeline
+
+def test_rawimg_roundtrip_exact():
+    import numpy as np
+
+    from schema_matching_spark.functions.multimodal import (
+        decode_rawimg,
+        encode_rawimg,
+    )
+
+    arr = (np.arange(24 * 32 * 3, dtype=np.int64) % 256).astype("uint8").reshape(
+        24, 32, 3
+    )
+    out = decode_rawimg(encode_rawimg(arr))
+    assert out.shape == (24, 32, 3)
+    assert (out == arr).all()
+
+
+def test_resize_and_grayscale_known_values():
+    import numpy as np
+
+    from schema_matching_spark.functions.multimodal import (
+        grayscale,
+        resize_nearest,
+    )
+
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    arr[2:, 2:] = 255
+    small = resize_nearest(arr, 2, 2)
+    assert (small[0, 0] == 0).all() and (small[1, 1] == 255).all()
+    g = grayscale(arr)
+    assert g[0, 0] == 0 and g[3, 3] in (254, 255)  # luma weights sum to 1.0
+
+
+def test_dhash_resize_invariant_and_discriminative():
+    import numpy as np
+
+    from schema_matching_spark.functions.multimodal import (
+        dhash64,
+        resize_nearest,
+    )
+
+    rng_free = (np.mgrid[0:24, 0:32][1] * 7 % 256).astype(np.uint8)
+    img = np.stack([rng_free, rng_free // 2, rng_free // 3], axis=-1)
+    up = resize_nearest(img, 48, 64)
+    assert dhash64(img) == dhash64(up), "dHash must survive 2x upscale"
+    other = np.stack([rng_free.T[:24, :32] if rng_free.T.shape[0] >= 24
+                      else rng_free] * 3, axis=-1)
+    # a different image yields a different hash (overwhelmingly)
+    shifted = np.roll(img, 5, axis=1)
+    assert dhash64(img) != dhash64(shifted)
+
+
+def test_image_dedup_finds_planted_upscaled_copies(spark):
+    from schema_matching_spark.queries.multimodal_q import q_image_dedup
+
+    r = q_image_dedup(spark, SF_DIR).collect()[0]
+    assert r["n_planted_total"] == 50  # 250 base, every 5th planted
+    # dHash must match the upscaled copy to its original for nearly all
+    assert r["n_planted_matched"] >= 45, r
+    assert r["n_dup_groups"] >= 45
