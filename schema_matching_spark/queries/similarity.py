@@ -250,9 +250,68 @@ ORDER BY label
 """
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF ANN (the brief names IVF *or* LSH — both ship): a k-means
+    coarse quantizer (Spark ML KMeans, fixed seed) partitions the
+    corpus into cells ≈ n/256; each query probes its ``nprobe=4``
+    nearest cells (centroids are tiny — the probe list is computed
+    driver-side from the fitted model, the CORPUS never leaves
+    executors), then exact cosine re-ranks candidates inside the probed
+    cells.  The candidate join shuffles on the cell id — the same
+    no-O(n·q) shape as knn_lsh; at 10^9 vectors you train on a sample
+    and probe ~nprobe/k of the corpus.  Rows-only (k-means state is
+    engine-internal); recall vs brute asserted in
+    tests/test_similarity.py."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    k = max(4, min(64, n // 256))
+    vec = emb.withColumn("_v", array_to_vector(F.col("embedding").cast("array<float>")))
+    model = KMeans(k=k, seed=42, featuresCol="_v", predictionCol="cell").fit(vec)
+    assigned = model.transform(vec).select("vec_id", "embedding", "cell")
+
+    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    qs = assigned.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    q_rows = qs.collect()  # 5 rows — the query side is driver-tiny by design
+    nprobe = min(4, k)
+    probe_pairs = []
+    for r in q_rows:
+        qv = np.array(r["q_emb"], dtype=np.float64)
+        d = ((centroids - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:nprobe]:
+            probe_pairs.append((r["q_id"], int(cell)))
+    probes = spark.createDataFrame(probe_pairs, "q_id long, cell int")
+
+    cand = (
+        probes.join(qs, "q_id")
+        .join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+    )
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("sim"),
+    ).distinct()
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "rank", "vec_id", "sim")
+        .orderBy("q_id", "rank")
+    )
+
+
 QUERIES = {
     "knn_brute": q_knn_brute,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "embedding_dedup": q_embedding_dedup,
     "embedding_norms": q_embedding_norms,
 }
@@ -260,5 +319,6 @@ QUERIES = {
 ORACLE = {
     "knn_brute": SQL_KNN_BRUTE,
     "embedding_norms": SQL_EMBEDDING_NORMS,
-    # knn_lsh / embedding_dedup: engine-internal hyperplanes — rows-only
+    # knn_lsh / knn_ivf / embedding_dedup: engine-internal hyperplanes /
+    # k-means state — rows-only, recall-tested vs brute force
 }

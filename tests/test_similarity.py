@@ -47,3 +47,23 @@ def test_cosine_of_identical_vectors(spark):
         F.round(S.cosine(F.col("embedding"), F.col("embedding")), 6).alias("c")
     ).collect()
     assert all(abs(r["c"] - 1.0) < 1e-6 for r in out)
+
+
+def test_knn_ivf_recall_vs_brute(spark):
+    brute = S.q_knn_brute(spark, SF_DIR).collect()
+    ivf = S.q_knn_ivf(spark, SF_DIR).collect()
+    brute_sets, ivf_sets = {}, {}
+    for r in brute:
+        brute_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for r in ivf:
+        ivf_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(brute_sets[q] & ivf_sets.get(q, set())) / len(brute_sets[q])
+        for q in brute_sets
+    ]
+    avg = sum(recalls) / len(recalls)
+    # uniform-random 64-dim vectors barely cluster, so IVF recall is
+    # modest by nature here; real embeddings cluster and probe better
+    assert avg >= 0.2, f"avg recall {avg}, {recalls}"
+    # every query produced a full top-5 from its probed cells
+    assert all(len(v) == 5 for v in ivf_sets.values())
