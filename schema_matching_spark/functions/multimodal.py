@@ -313,6 +313,177 @@ def synthetic_images(spark, n: int, height: int = 24, width: int = 32) -> DataFr
     )
 
 
+# ------------------------------------------------------- raw audio
+#: rawpcm/v1: 8-byte header (magic b"RA01", uint32 sample_rate little
+#: endian) + int16 little-endian mono samples.  Real DSP features
+#: (RMS energy, zero-crossing rate, peak) in numpy — no codec libs.
+_RAWPCM_MAGIC = b"RA01"
+RAWPCM_KIND = "audio/rawpcm-v1"
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("duration_s", DoubleType(), False),
+        StructField("rms", DoubleType(), False),
+        StructField("zcr", DoubleType(), False),
+        StructField("peak", IntegerType(), False),
+    ]
+)
+
+
+def encode_rawpcm(samples: np.ndarray, sample_rate: int) -> bytes:
+    assert samples.dtype == np.int16
+    return (
+        _RAWPCM_MAGIC
+        + int(sample_rate).to_bytes(4, "little")
+        + samples.tobytes()
+    )
+
+
+def decode_rawpcm(payload: bytes) -> tuple[np.ndarray, int]:
+    if payload[:4] != _RAWPCM_MAGIC:
+        raise ValueError("not a rawpcm/v1 payload")
+    rate = int.from_bytes(payload[4:8], "little")
+    return np.frombuffer(payload, dtype="<i2", offset=8), rate
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Real audio feature extraction (RMS energy, zero-crossing rate,
+    peak amplitude, duration) over rawpcm payloads — one Arrow pass,
+    payloads never leave the executor."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                s, rate = decode_rawpcm(bytes(payload))
+                x = s.astype(np.float64)
+                rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+                zcr = (
+                    float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+                    if len(x) > 1
+                    else 0.0
+                )
+                rows.append(
+                    (
+                        int(asset_id),
+                        rate,
+                        len(s),
+                        round(len(s) / rate, 6),
+                        round(rms, 4),
+                        round(zcr, 6),
+                        int(np.abs(x).max()) if len(x) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        gen, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def synthetic_audio(spark, n: int, rate: int = 8000, seconds: float = 0.25) -> DataFrame:
+    """Deterministic rawpcm corpus: per id, a pure sine at an
+    id-derived frequency + id-derived amplitude — features are then
+    analytically predictable (RMS ≈ amp/√2, ZCR ≈ 2f/rate), which the
+    tests exploit."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(int(rate * seconds)) / rate
+        for pdf in batches:
+            rows = []
+            for asset_id in pdf["id"]:
+                seed = int(asset_id)
+                freq = 100 + (seed % 20) * 50  # 100..1050 Hz
+                amp = 4000 + (seed % 5) * 2000
+                samples = (amp * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+                payload = encode_rawpcm(samples, rate)
+                rows.append(
+                    (seed, RAWPCM_KIND, payload, len(payload), None, None, rate)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ASSET_SCHEMA.fields]
+            )
+
+    return spark.range(n).repartition(4).mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+# ------------------------------------------------------- raw video
+#: rawvid/v1: 4-byte magic b"RV01" + uint16 frame count + concatenated
+#: rawimg/v1 frames (each self-describing).  Real scene-cut detection:
+#: per-frame dHash, cut where consecutive hashes differ in > threshold
+#: bits — the exact sampling shape a video training-data pipeline uses
+#: to pick representative frames.
+_RAWVID_MAGIC = b"RV01"
+RAWVID_KIND = "video/rawvid-v1"
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("n_cuts", IntegerType(), False),
+        StructField("first_cut_frame", IntegerType(), True),
+    ]
+)
+
+
+def encode_rawvid(frames: list[np.ndarray]) -> bytes:
+    out = [_RAWVID_MAGIC + len(frames).to_bytes(2, "little")]
+    out.extend(encode_rawimg(f) for f in frames)
+    return b"".join(out)
+
+
+def decode_rawvid(payload: bytes) -> list[np.ndarray]:
+    if payload[:4] != _RAWVID_MAGIC:
+        raise ValueError("not a rawvid/v1 payload")
+    n = int.from_bytes(payload[4:6], "little")
+    frames, off = [], 6
+    for _ in range(n):
+        w = int.from_bytes(payload[off + 4:off + 6], "little")
+        h = int.from_bytes(payload[off + 6:off + 8], "little")
+        end = off + 8 + h * w * 3
+        frames.append(decode_rawimg(payload[off:end]))
+        off = end
+    return frames
+
+
+def scene_cuts(assets: DataFrame, hamming_threshold: int = 16) -> DataFrame:
+    """Per-video scene-cut detection: dHash every frame, mark a cut
+    where consecutive hashes differ in more than ``hamming_threshold``
+    of 64 bits.  One Arrow pass; output is one small row per video."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frames = decode_rawvid(bytes(payload))
+                hashes = [dhash64(f) for f in frames]
+                cuts = []
+                for i in range(1, len(hashes)):
+                    d = bin((hashes[i] ^ hashes[i - 1]) & ((1 << 64) - 1)).count("1")
+                    if d > hamming_threshold:
+                        cuts.append(i)
+                rows.append(
+                    (
+                        int(asset_id),
+                        len(frames),
+                        len(cuts),
+                        cuts[0] if cuts else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SCENE_SCHEMA.fields]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        gen, schema=SCENE_SCHEMA
+    )
+
+
 def assets_from_documents(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text's UTF-8 bytes as an opaque payload —
     the stand-in corpus for binary assets in this container."""

@@ -149,10 +149,95 @@ def q_image_dedup(spark, sf_dir):
     )
 
 
+def q_audio_features(spark, sf_dir):
+    """Real audio DSP over rawpcm payloads (RMS energy, zero-crossing
+    rate, peak, duration — pure numpy, no codec libs): deterministic
+    sine corpus with analytically-known features, aggregated per
+    frequency band.  Rows-only (engine-generated corpus); the
+    RMS≈amp/√2 and ZCR≈2f/rate identities are asserted in
+    tests/test_multimodal.py."""
+    from ..functions.multimodal import audio_features, synthetic_audio
+
+    assets = synthetic_audio(spark, 200)
+    feats = audio_features(assets)
+    return (
+        feats.withColumn("zcr_band", F.floor(F.col("zcr") * 20).cast("int"))
+        .groupBy("zcr_band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("rms"), 2).alias("avg_rms"),
+            F.max("peak").alias("max_peak"),
+        )
+        .orderBy("zcr_band")
+    )
+
+
+def q_scene_cuts(spark, sf_dir):
+    """Real video scene-cut detection: rawvid payloads (self-describing
+    frame sequences) → per-frame dHash → cut where consecutive hashes
+    differ in >16/64 bits.  The synthetic corpus plants exactly one
+    hard cut per video at an id-derived frame, so the detector's output
+    is fully checkable.  Rows-only; exactness asserted in
+    tests/test_multimodal.py."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from ..functions.multimodal import (
+        ASSET_SCHEMA,
+        RAWVID_KIND,
+        encode_rawvid,
+        scene_cuts,
+    )
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        yy, xx = _np.mgrid[0:16, 0:20]
+        for pdf in batches:
+            rows = []
+            for asset_id in pdf["id"]:
+                seed = int(asset_id)
+                cut_at = 3 + seed % 5  # frames [0,cut) scene A, rest scene B
+                # scene B reverses the gradient direction so the dHash
+                # gradient-sign bits flip wholesale — a hard cut; two
+                # same-direction gradients would look alike to dHash by
+                # design (that robustness is the point of the hash)
+                def scene(s, sign):
+                    r = ((sign * xx * (3 + s % 7) + s) % 256).astype(_np.uint8)
+                    g = ((sign * yy * (5 + s % 11) + 2 * s) % 256).astype(
+                        _np.uint8
+                    )
+                    b = (((xx + yy) * (2 + s % 5)) % 256).astype(_np.uint8)
+                    return _np.stack([r, g, b], axis=-1)
+                a, b = scene(seed, 1), scene(seed + 9999, -1)
+                frames = [a] * cut_at + [b] * (8 - cut_at)
+                payload = encode_rawvid(frames)
+                rows.append(
+                    (seed, RAWVID_KIND, payload, len(payload),
+                     20, 16, None)
+                )
+            yield _pd.DataFrame(
+                rows, columns=[f.name for f in ASSET_SCHEMA.fields]
+            )
+
+    vids = spark.range(120).repartition(4).mapInPandas(gen, schema=ASSET_SCHEMA)
+    cuts = scene_cuts(vids)
+    return cuts.agg(
+        F.count("*").alias("n_videos"),
+        F.sum("n_cuts").alias("total_cuts"),
+        F.sum(F.when(F.col("n_cuts") == 1, 1).otherwise(0)).alias(
+            "videos_with_exactly_one_cut"
+        ),
+        F.countDistinct("first_cut_frame").alias("distinct_cut_positions"),
+    )
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
     "frame_sample": q_frame_sample,
     "schema_evolution_mapping": q_schema_evolution_mapping,
     "image_dedup": q_image_dedup,
+    "audio_features": q_audio_features,
+    "scene_cuts": q_scene_cuts,
 }
 ORACLE = {"multimodal_features": SQL_MULTIMODAL}

@@ -137,3 +137,65 @@ def test_image_dedup_finds_planted_upscaled_copies(spark):
     # dHash must match the upscaled copy to its original for nearly all
     assert r["n_planted_matched"] >= 45, r
     assert r["n_dup_groups"] >= 45
+
+
+# ------------------------------------------------ rawpcm real audio DSP
+
+def test_rawpcm_roundtrip_and_analytic_features():
+    import numpy as np
+
+    from schema_matching_spark.functions.multimodal import (
+        decode_rawpcm,
+        encode_rawpcm,
+    )
+
+    rate, f, amp = 8000, 400, 8000
+    t = np.arange(rate) / rate  # 1 second
+    s = (amp * np.sin(2 * np.pi * f * t)).astype(np.int16)
+    back, r2 = decode_rawpcm(encode_rawpcm(s, rate))
+    assert r2 == rate and (back == s).all()
+    # analytic identities: RMS = amp/sqrt(2), ZCR = 2f/rate
+    x = back.astype(np.float64)
+    rms = np.sqrt((x * x).mean())
+    zcr = (np.signbit(x[1:]) != np.signbit(x[:-1])).mean()
+    assert abs(rms - amp / np.sqrt(2)) / (amp / np.sqrt(2)) < 0.01
+    assert abs(zcr - 2 * f / rate) / (2 * f / rate) < 0.02
+
+
+def test_audio_features_query(spark):
+    from schema_matching_spark.queries.multimodal_q import q_audio_features
+
+    rows = q_audio_features(spark, SF_DIR).collect()
+    assert sum(r["n"] for r in rows) == 200
+    # ZCR bands span the 100..1050 Hz sine range (2f/rate in 0.025..0.2625)
+    assert len(rows) >= 3
+    assert all(r["max_peak"] <= 12000 for r in rows)
+
+
+# ------------------------------------------------ rawvid scene cuts
+
+def test_rawvid_roundtrip():
+    import numpy as np
+
+    from schema_matching_spark.functions.multimodal import (
+        decode_rawvid,
+        encode_rawvid,
+    )
+
+    f1 = np.zeros((6, 8, 3), dtype=np.uint8)
+    f2 = np.full((6, 8, 3), 200, dtype=np.uint8)
+    frames = decode_rawvid(encode_rawvid([f1, f2, f1]))
+    assert len(frames) == 3
+    assert (frames[0] == f1).all() and (frames[1] == f2).all()
+
+
+def test_scene_cut_detection_exact(spark):
+    from schema_matching_spark.queries.multimodal_q import q_scene_cuts
+
+    r = q_scene_cuts(spark, SF_DIR).collect()[0]
+    assert r["n_videos"] == 120
+    # every video has EXACTLY the one planted cut
+    assert r["videos_with_exactly_one_cut"] == 120, r
+    assert r["total_cuts"] == 120
+    # cut positions vary with the id (3 + id%5 -> 5 distinct positions)
+    assert r["distinct_cut_positions"] == 5
