@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "pricing_summary",
+    "corpus_curation",
     "top_unshipped",
     "local_supplier_volume",
     "window_top_orders",
