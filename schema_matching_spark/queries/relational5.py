@@ -166,11 +166,84 @@ ORDER BY band
 """
 
 
+def q_unpivot_metrics(spark, sf_dir):
+    """UNPIVOT (wide → long): per-nation supplier metrics melted into
+    (nation, metric, value) rows — the reshape a profiling pipeline
+    runs before generic per-metric aggregation.  Uses the native
+    DataFrame.unpivot (Spark's melt)."""
+    s = _t(spark, sf_dir, "supplier")
+    wide = s.groupBy("s_nationkey").agg(
+        F.count("*").cast("double").alias("n_suppliers"),
+        F.round(F.avg("s_acctbal"), 4).alias("avg_bal"),
+        F.round(F.max("s_acctbal"), 4).alias("max_bal"),
+    )
+    return (
+        wide.unpivot(
+            ids=["s_nationkey"],
+            values=["n_suppliers", "avg_bal", "max_bal"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .orderBy("s_nationkey", "metric")
+    )
+
+
+SQL_UNPIVOT_METRICS = """
+WITH wide AS (
+  SELECT s_nationkey,
+         CAST(count(*) AS DOUBLE) AS n_suppliers,
+         round(avg(s_acctbal), 4) AS avg_bal,
+         round(max(s_acctbal), 4) AS max_bal
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT s_nationkey, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_suppliers, avg_bal, max_bal))
+ORDER BY s_nationkey, metric
+"""
+
+
+def q_window_ranks(spark, sf_dir):
+    """The remaining rank-family window functions in one pass:
+    percent_rank / cume_dist / nth_value over per-nation customer
+    balances (one shuffle on the partition key feeds all three)."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("c_custkey", 2).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("second_poorest"),
+    ).orderBy("c_nationkey", "c_custkey")
+
+
+SQL_WINDOW_RANKS = """
+SELECT c_nationkey, c_custkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       nth_value(c_custkey, 2) OVER (
+         PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_poorest
+FROM customer
+WHERE c_custkey <= 300
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+ORDER BY c_nationkey, c_custkey
+"""
+
+
 QUERIES = {
     "large_orders": q_large_orders,
     "top_revenue_suppliers": q_top_revenue_suppliers,
     "idle_rich_customers": q_idle_rich_customers,
     "order_value_distribution": q_order_value_distribution,
+    "unpivot_metrics": q_unpivot_metrics,
+    "window_ranks": q_window_ranks,
 }
 
 ORACLE = {
@@ -178,4 +251,6 @@ ORACLE = {
     "top_revenue_suppliers": SQL_TOP_REVENUE_SUPPLIERS,
     "idle_rich_customers": SQL_IDLE_RICH,
     "order_value_distribution": SQL_ORDER_VALUE_DISTRIBUTION,
+    "unpivot_metrics": SQL_UNPIVOT_METRICS,
+    "window_ranks": SQL_WINDOW_RANKS,
 }
