@@ -237,6 +237,56 @@ ORDER BY c_nationkey, c_custkey
 """
 
 
+def q_map_functions(spark, sf_dir):
+    """MAP-typed surface: per customer nation, build a
+    status→order-count MAP in-plan (collect_list of structs →
+    map_from_entries), then interrogate it with map_keys /
+    element_at / size.  Output is scalar columns so the oracle stays
+    engine-neutral (map rendering differs between engines; map
+    SEMANTICS don't)."""
+    o = _t(spark, sf_dir, "orders")
+    per_status = (
+        o.groupBy(F.pmod("o_custkey", F.lit(10)).alias("cust_band"),
+                  "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    mapped = (
+        per_status.groupBy("cust_band")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(F.struct("o_orderstatus", "n"))
+                )
+            ).alias("m")
+        )
+    )
+    return mapped.select(
+        "cust_band",
+        F.size("m").alias("n_statuses"),
+        F.coalesce(F.element_at("m", "O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.element_at("m", "F"), F.lit(0)).alias("n_finished"),
+        F.coalesce(F.element_at("m", "P"), F.lit(0)).alias("n_pending"),
+        F.array_join(F.map_keys("m"), ",").alias("statuses"),
+    ).orderBy("cust_band")
+
+
+SQL_MAP_FUNCTIONS = """
+SELECT o_custkey % 10 AS cust_band,
+       count(DISTINCT o_orderstatus) AS n_statuses,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_finished,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pending,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+           AS statuses
+FROM orders
+GROUP BY 1
+ORDER BY cust_band
+"""
+
+
 QUERIES = {
     "large_orders": q_large_orders,
     "top_revenue_suppliers": q_top_revenue_suppliers,
@@ -244,6 +294,7 @@ QUERIES = {
     "order_value_distribution": q_order_value_distribution,
     "unpivot_metrics": q_unpivot_metrics,
     "window_ranks": q_window_ranks,
+    "map_functions": q_map_functions,
 }
 
 ORACLE = {
@@ -253,4 +304,5 @@ ORACLE = {
     "order_value_distribution": SQL_ORDER_VALUE_DISTRIBUTION,
     "unpivot_metrics": SQL_UNPIVOT_METRICS,
     "window_ranks": SQL_WINDOW_RANKS,
+    "map_functions": SQL_MAP_FUNCTIONS,
 }
