@@ -237,6 +237,86 @@ ORDER BY c_nationkey, c_custkey
 """
 
 
+def q_json_struct_parse(spark, sf_dir):
+    """Schema-full JSON parsing (`from_json` → typed struct → field
+    access) — the structured path, vs json_events' schemaless
+    get_json_object; malformed input yields NULL struct (PERMISSIVE),
+    counted explicitly."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("p").isNull(), 1).otherwise(0)).alias(
+                "n_unparsed"
+            ),
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+            F.sum("p.k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JSON_STRUCT_PARSE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unparsed,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_bitwise_aggregates(spark, sf_dir):
+    """Bitwise aggregate surface: bit_and / bit_or / bit_xor of order
+    keys per status, plus scalar shiftleft/bitwise-& in the projection."""
+    o = _t(spark, sf_dir, "orders")
+    masked = o.select(
+        "o_orderstatus",
+        (F.col("o_orderkey").bitwiseAND(F.lit(0xFFFF))).alias("k16"),
+        (F.shiftleft(F.col("o_custkey"), 1)).alias("ck2"),
+    )
+    return (
+        masked.groupBy("o_orderstatus")
+        .agg(
+            F.bit_and("k16").alias("and_k"),
+            F.bit_or("k16").alias("or_k"),
+            F.bit_xor("k16").alias("xor_k"),
+            F.sum("ck2").alias("sum_ck2"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_BITWISE = """
+SELECT o_orderstatus,
+       bit_and(k16) AS and_k,
+       bit_or(k16) AS or_k,
+       bit_xor(k16) AS xor_k,
+       CAST(sum(ck2) AS BIGINT) AS sum_ck2
+FROM (
+  SELECT o_orderstatus,
+         o_orderkey & 65535 AS k16,
+         o_custkey << 1 AS ck2
+  FROM orders
+)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def q_map_functions(spark, sf_dir):
     """MAP-typed surface: per customer nation, build a
     status→order-count MAP in-plan (collect_list of structs →
@@ -295,6 +375,8 @@ QUERIES = {
     "unpivot_metrics": q_unpivot_metrics,
     "window_ranks": q_window_ranks,
     "map_functions": q_map_functions,
+    "json_struct_parse": q_json_struct_parse,
+    "bitwise_aggregates": q_bitwise_aggregates,
 }
 
 ORACLE = {
@@ -305,4 +387,6 @@ ORACLE = {
     "unpivot_metrics": SQL_UNPIVOT_METRICS,
     "window_ranks": SQL_WINDOW_RANKS,
     "map_functions": SQL_MAP_FUNCTIONS,
+    "json_struct_parse": SQL_JSON_STRUCT_PARSE,
+    "bitwise_aggregates": SQL_BITWISE,
 }
