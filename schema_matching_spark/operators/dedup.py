@@ -16,7 +16,6 @@ partial-agg combining (SURVEY.md §4.2).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ..schemas import KEY_COLS
 

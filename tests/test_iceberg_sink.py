@@ -91,8 +91,6 @@ def test_newer_insert_after_delete_recreates_key():
 def test_simulator_matches_snapshot_table_on_fixture(spark, tmp_path):
     """The same event sequence through the simulator and through
     SnapshotTable.merge_apply must agree on the visible state."""
-    from pyspark.sql import functions as F
-
     from schema_matching_spark.plans.table import SnapshotTable
 
     log = changes(spark, 600, n_conv=12, turns_per_conv=6, partitions=2)

@@ -7,8 +7,6 @@ pure DuckDB SQL, so the rows-only entries are backed by exact local
 equality."""
 
 import duckdb
-import pytest
-from pyspark.sql import functions as F
 
 from schema_matching_spark.queries import cdc
 from schema_matching_spark.sources.generator import changes, with_dup_delivery

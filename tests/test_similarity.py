@@ -1,8 +1,6 @@
 """ANN / embedding operator tests: LSH recall vs brute force, planted
 near-dup recall."""
 
-import pytest
-
 from schema_matching_spark.queries import similarity as S
 from tests.conftest import SF_DIR
 
