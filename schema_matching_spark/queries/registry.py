@@ -17,18 +17,25 @@ from . import (
     sources_q,
 )
 
+# Order matters: the driver's correctness gate evaluates the first 50
+# registry entries in dict-insertion order. Round 1+2 proved the tail past
+# position 50 never gets a driver row, so the LLM-data-pipeline packs
+# (dataprep/similarity/multimodal/sources/udfs — 32 queries) lead, followed
+# by the 5 CDC queries and the first 13 relational queries (all
+# driver-green in r1/r2). Every one of the 84 queries then has a driver
+# row across rounds 1-3.
 _MODULES = [
-    relational,
-    relational2,
-    relational3,
-    relational4,
-    relational5,
-    cdc,
     dataprep,
     similarity,
     multimodal_q,
     sources_q,
     python_udfs,
+    cdc,
+    relational,
+    relational2,
+    relational3,
+    relational4,
+    relational5,
 ]
 
 
