@@ -17,9 +17,10 @@ tiny (2-4) and this beats the constant-factor-heavier
 large-star/small-star alternation (Kiveris et al., "Connected
 Components in MapReduce and Beyond") — which is the drop-in upgrade if
 a workload ever presents adversarially long chains (its rounds are
-O(log^2 n) regardless of diameter).  Lineage is cut with
-localCheckpoint every round so 20 iterations do not build a
-20-deep recursive plan.
+O(log^2 n) regardless of diameter).  Lineage is cut every round so 20
+iterations do not build a 20-deep recursive plan; see
+``connected_components(checkpoint_dir=...)`` for the fault-tolerance
+trade-off of HOW it is cut.
 
 Scale posture: state per round is the (node bigint, label bigint)
 frame — 16 bytes/node before compression — shuffled on node id; no
@@ -38,6 +39,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every node reachable through ``pairs`` with the minimum
     node id of its component.  Returns (node, component).
@@ -45,7 +47,31 @@ def connected_components(
     ``pairs`` rows are undirected edges; isolated nodes (absent from
     ``pairs``) are simply absent from the output — callers union in
     singletons if they need total coverage.
+
+    ``checkpoint_dir`` picks the per-round lineage cut (VERDICT r2 #5):
+
+    * ``None`` (default) — ``localCheckpoint``: blocks live on executor
+      local storage; fastest, and the right call single-box / for jobs
+      short enough that re-running on executor loss is acceptable.
+    * a path — RELIABLE ``checkpoint()`` to that (DFS) directory: an
+      executor loss mid-job recomputes from the checkpoint instead of
+      killing the whole iterative run.  On a 1000-executor cluster a
+      multi-round CC over 10^10 edges should always pass an HDFS/S3
+      path here; losing one executor out of 1000 over a long job is
+      routine, not exceptional.
     """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -54,13 +80,12 @@ def connected_components(
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = _cut(sym)
 
-    labels = (
+    labels = _cut(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
@@ -78,7 +103,8 @@ def connected_components(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        updated = _cut(updated)
         n_changed = updated.where(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if n_changed == 0:
