@@ -157,11 +157,52 @@ def q_cdc_replay_state(spark, sf_dir):
     )
 
 
+def q_cdc_changelog(spark, sf_dir):
+    """Incremental/changelog read (plans/table.py changes_between —
+    Iceberg changelog-scan parity): build a snapshot table from the
+    deterministic generator, merge a second batch, then read the net
+    change feed between the two snapshots and aggregate it.  Rows-only
+    (engine-internal table + generator); exact value evidence:
+    tests/test_changelog.py (pure-Python LWW diff + DuckDB SQL mirror,
+    COW and MOR, multi-commit spans)."""
+    import os
+
+    from ..operators.apply import apply_batch
+    from ..plans.table import SnapshotTable
+    from ..sources.generator import changes
+
+    root = tempfile.mkdtemp(prefix="q_changelog_")
+    table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=8)
+    apply_batch(
+        table, changes(spark, 4000, n_conv=40, turns_per_conv=12, partitions=4), "b1"
+    )
+    v1 = table.current_version()
+    apply_batch(
+        table,
+        changes(
+            spark, 1500, n_conv=40, turns_per_conv=12, lsn_start=4000, partitions=4
+        ),
+        "b2",
+    )
+    return (
+        table.changes_between(v1)
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_changes"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+        )
+        .orderBy("change_type")
+    )
+
+
 QUERIES = {
     "latest_wins": q_latest_wins,
     "salted_latest_wins": q_salted_latest_wins,
     "delivery_dedup": q_delivery_dedup,
     "cdc_replay_state": q_cdc_replay_state,
+    "cdc_changelog": q_cdc_changelog,
     "stateful_progress": q_stateful_progress,
 }
 
