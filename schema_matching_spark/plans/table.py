@@ -280,10 +280,12 @@ class SnapshotTable:
         min/max stats bracket the conversation tightly)."""
         m = self.manifest(version)
         # evaluate the bucket id driver-side with the SAME expression
-        # the writer used (never reimplement the hash in Python)
+        # the writer used (never reimplement the hash in Python), under
+        # the SNAPSHOT's bucket spec (a rebucket() may have changed it
+        # since `version`)
         b = (
             self.spark.createDataFrame([(conv_id,)], "conv_id string")
-            .select(bucket_expr(self.n_buckets).alias("b"))
+            .select(bucket_expr(m.get("n_buckets", self.n_buckets)).alias("b"))
             .collect()[0]["b"]
         )
         paths = [f["path"] for f in m["files"] if f["bucket"] == b]
@@ -337,10 +339,17 @@ class SnapshotTable:
         new_files = [f for f in m_to["files"] if f["path"] not in from_by_path]
         if not new_files:
             return self._empty_changelog()
-        touched_buckets = {f["bucket"] for f in new_files}
-        from_paths = [
-            f["path"] for f in m_from["files"] if f["bucket"] in touched_buckets
-        ]
+        if m_from.get("n_buckets") == m_to.get("n_buckets"):
+            touched_buckets = {f["bucket"] for f in new_files}
+            from_paths = [
+                f["path"] for f in m_from["files"] if f["bucket"] in touched_buckets
+            ]
+        else:
+            # a rebucket() between the snapshots changed the spec:
+            # bucket ids are not comparable across specs, so the FROM
+            # side can't be bucket-pruned (the rebucket rewrote every
+            # file anyway, so nothing was prunable)
+            from_paths = [f["path"] for f in m_from["files"]]
 
         cand = lww_reduce(self._read_files([f["path"] for f in new_files]))
 
@@ -544,6 +553,61 @@ class SnapshotTable:
                 "n_buckets": self.n_buckets,
                 "mode": self._mode,
                 "files": keep + entries,
+                "applied_batches": dict(cur["applied_batches"]),
+                "applied_evicted_high_water": cur.get("applied_evicted_high_water"),
+                "lineage": lineage,
+                "lineage_truncated": truncated,
+            }
+        )
+
+    def rebucket(self, n_buckets: int) -> int:
+        """Bucket evolution: re-shard the table onto ``n_buckets`` hash
+        buckets (Iceberg partition-spec evolution for a bucketed spec).
+        A table bootstrapped at 32 buckets that grows 100× needs more
+        write/read parallelism and smaller per-bucket files; conversely
+        an over-sharded table wastes task overhead and produces small
+        files.
+
+        This is an O(table) rewrite by necessity — the bucket function
+        changes, so every row's placement changes; it reuses the same
+        fused collapse+cluster shuffle as every commit (ONE exchange)
+        and commits with snapshot isolation like any other op (readers
+        on the old pointer see the old spec; a crash leaves the old
+        snapshot intact).  Run it like compact(): a scheduled
+        maintenance job, not an ingest-path step.  Subsequent merges
+        automatically use the new spec (``n_buckets`` is persisted in
+        the manifest and re-read on open).
+        """
+        assert n_buckets >= 1, n_buckets
+        cur = self.manifest()
+        rows = self._read_files([f["path"] for f in cur["files"]])
+        if self._mode == "mor":
+            rows = lww_reduce(rows)  # fold deltas while we pay the rewrite
+        old_n = self.n_buckets
+        self.n_buckets = n_buckets
+        try:
+            entries = self._write_commit_files(self._bucket_collapse(rows))
+        except Exception:
+            self.n_buckets = old_n  # nothing committed; restore the spec
+            raise
+        version = cur["version"] + 1
+        lineage, truncated = _roll_lineage(
+            cur,
+            {
+                "op": "rebucket",
+                "version": version,
+                "from_buckets": old_n,
+                "to_buckets": n_buckets,
+                "wall_ts": time.time(),
+            },
+        )
+        return self._commit(
+            {
+                "version": version,
+                "parent": cur["version"],
+                "n_buckets": n_buckets,
+                "mode": self._mode,
+                "files": entries,
                 "applied_batches": dict(cur["applied_batches"]),
                 "applied_evicted_high_water": cur.get("applied_evicted_high_water"),
                 "lineage": lineage,
