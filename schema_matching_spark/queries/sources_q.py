@@ -260,12 +260,61 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
 """
 
 
+def q_table_changes_source(spark, sf_dir):
+    """CDC-out connector (sources/table_changes.py — the snapshot table
+    as a `table_changes` readable format): build a table from the
+    deterministic generator, merge a second batch, then read the change
+    feed between the snapshots THROUGH the registered Python DataSource
+    and aggregate it.  Rows-only (engine-internal table); full parity
+    with changes_between plus checkpointed streaming resume is pinned in
+    tests/test_table_changes_source.py."""
+    from ..operators.apply import apply_batch
+    from ..plans.table import SnapshotTable
+    from ..sources.generator import changes
+    from ..sources.table_changes import TableChangesDataSource
+
+    try:
+        spark.dataSource.register(TableChangesDataSource)
+    except Exception:
+        pass  # already registered in this session
+    root = tempfile.mkdtemp(prefix="q_tcsrc_")
+    table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=8)
+    apply_batch(
+        table, changes(spark, 4000, n_conv=40, turns_per_conv=12, partitions=4), "b1"
+    )
+    v1 = table.current_version()
+    apply_batch(
+        table,
+        changes(
+            spark, 1500, n_conv=40, turns_per_conv=12, lsn_start=4000, partitions=4
+        ),
+        "b2",
+    )
+    feed = (
+        spark.read.format("table_changes")
+        .option("path", table.root)
+        .option("from_version", v1)
+        .load()
+    )
+    return (
+        feed.groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_changes"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+        )
+        .orderBy("change_type")
+    )
+
+
 QUERIES = {
     "csv_source": q_csv_source,
     "json_source": q_json_source,
     "partition_pruned_scan": q_partition_pruned_scan,
     "stream_aggregate": q_stream_aggregate,
     "stream_stream_join": q_stream_stream_join,
+    "table_changes_source": q_table_changes_source,
 }
 
 ORACLE = {
