@@ -177,6 +177,7 @@ def bench_cdc_incremental(
                     partitions=partitions),
             "bootstrap",
         )
+        v_base = table.current_version()
         t0 = time.time()
         for b in range(n_batches):
             batch = changes(
@@ -186,6 +187,11 @@ def bench_cdc_incremental(
             apply_batch(table, batch, f"inc-{b}")
         inc_sec = time.time() - t0
         total = n_batches * batch_events
+        # changelog scan (round 3): read the net change feed the N
+        # incremental batches produced — the downstream-consumer path
+        t1 = time.time()
+        n_changes = table.changes_between(v_base).count()
+        changelog_sec = time.time() - t1
         return {
             "mode": mode,
             "base_events": base_events,
@@ -193,6 +199,8 @@ def bench_cdc_incremental(
             "batch_events": batch_events,
             "incremental_sec": round(inc_sec, 3),
             "incremental_events_per_sec": round(total / inc_sec, 1),
+            "changelog_scan_sec": round(changelog_sec, 3),
+            "changelog_changes_emitted": n_changes,
             "final_version": table.current_version(),
         }
     finally:
