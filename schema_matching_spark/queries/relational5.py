@@ -367,6 +367,47 @@ ORDER BY cust_band
 """
 
 
+def q_variant_extract(spark, sf_dir):
+    """Spark 4 VARIANT type over semi-structured JSON: parse_json →
+    binary variant → typed path extraction (variant_get) + missing-path
+    safety (try_variant_get).  VARIANT is the engine-native way to scan
+    heterogeneous JSON at scale — the shredded binary encoding avoids
+    re-parsing the JSON text per field access (one parse, N typed
+    gets), unlike get_json_object chains."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ex = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.variant_get("v", "$.k", "bigint").alias("k"),
+        F.try_variant_get("v", "$.absent", "bigint").alias("absent"),
+    )
+    return (
+        ex.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("absent").isNull().cast("long")).alias("n_absent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_VARIANT_EXTRACT = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       count(*) AS n_absent
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "large_orders": q_large_orders,
     "top_revenue_suppliers": q_top_revenue_suppliers,
@@ -377,6 +418,7 @@ QUERIES = {
     "map_functions": q_map_functions,
     "json_struct_parse": q_json_struct_parse,
     "bitwise_aggregates": q_bitwise_aggregates,
+    "variant_extract": q_variant_extract,
 }
 
 ORACLE = {
@@ -389,4 +431,5 @@ ORACLE = {
     "map_functions": SQL_MAP_FUNCTIONS,
     "json_struct_parse": SQL_JSON_STRUCT_PARSE,
     "bitwise_aggregates": SQL_BITWISE,
+    "variant_extract": SQL_VARIANT_EXTRACT,
 }
