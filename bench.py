@@ -207,6 +207,72 @@ def bench_cdc_incremental(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_scan_pruning(
+    spark, base_events: int = 1_000_000, n_buckets: int = 64, partitions: int = 32
+):
+    """Freshness-query path (B14): bootstrap a table, merge one batch of
+    RECENT activity confined to a few conversations (the realistic shape
+    — most of the key space is idle), then time a recent-window scan()
+    against a full read + filter.  The manifest's per-file ts stats let
+    scan() skip every idle bucket's files without opening them."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from schema_matching_spark.operators.apply import apply_batch
+    from schema_matching_spark.plans.table import SnapshotTable
+    from schema_matching_spark.sources.generator import changes
+
+    root = tempfile.mkdtemp(prefix="bench_scan_", dir=_scratch_base())
+    try:
+        n_conv = max(base_events // 200, 100)
+        table = SnapshotTable(
+            spark, os.path.join(root, "tbl"), n_buckets=n_buckets
+        )
+        apply_batch(
+            table,
+            changes(spark, base_events, n_conv=n_conv, turns_per_conv=50,
+                    partitions=partitions),
+            "bootstrap",
+        )
+        hot = [f"conv-{i:08d}" for i in (3, 11, 17)]
+        recent = changes(
+            spark, 100_000, n_conv=n_conv, turns_per_conv=50,
+            lsn_start=base_events * 4, partitions=8,
+        ).where(F.col("conv_id").isin(hot))
+        apply_batch(table, recent, "recent")
+
+        lo = dt.datetime(2026, 1, 1) + dt.timedelta(seconds=base_events * 2)
+        # best-of-2 each, full read first — on warm tmpfs the absolute
+        # win is modest (page cache hides the skipped I/O); files_read /
+        # files_total is the scale-relevant number (skipped files are
+        # skipped GETs on object storage).
+        full_sec = scan_sec = None
+        n_full = n_scan = 0
+        for _ in range(2):
+            t0 = time.time()
+            n_full = table.read().where(F.col("ts") >= F.lit(lo)).count()
+            el = time.time() - t0
+            full_sec = el if full_sec is None else min(full_sec, el)
+            t1 = time.time()
+            n_scan = table.scan(ts_min=lo).count()
+            el = time.time() - t1
+            scan_sec = el if scan_sec is None else min(scan_sec, el)
+        stats = table.last_scan_stats
+        assert n_scan == n_full, (n_scan, n_full)
+        return {
+            "base_events": base_events,
+            "rows_in_window": n_scan,
+            "files_read": stats["files_read"],
+            "files_total": stats["files_total"],
+            "scan_sec": round(scan_sec, 3),
+            "full_read_filter_sec": round(full_sec, 3),
+            "speedup": round(full_sec / scan_sec, 2) if scan_sec > 0 else None,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -244,8 +310,10 @@ def main() -> None:
     cdc_skew = bench_cdc_skewed(spark, args.events, partitions=max(cpus * 2, 16))
     inc = bench_cdc_incremental(spark, mode="cow")
     inc_mor = bench_cdc_incremental(spark, mode="mor")
+    scan_prune = bench_scan_pruning(spark)
     timings["cdc_incremental_cow"] = inc["incremental_sec"]
     timings["cdc_incremental_mor"] = inc_mor["incremental_sec"]
+    timings["scan_pruned_window"] = scan_prune["scan_sec"]
 
     if not args.cdc_only:
         import __spark_entry__ as E
@@ -274,6 +342,7 @@ def main() -> None:
         "cdc_skewed": cdc_skew,
         "cdc_incremental": inc,
         "cdc_incremental_mor": inc_mor,
+        "scan_pruning": scan_prune,
     }
     print(json.dumps(out))
 

@@ -124,6 +124,55 @@ def _batch_applied(cur: dict, batch_id) -> bool:
     return False
 
 
+def _ts_to_us(v) -> int:
+    """datetime / ISO string → epoch microseconds.  The engine session
+    runs in UTC (session.py) and Spark writes parquet timestamps
+    UTC-adjusted, so naive values are UTC by construction."""
+    import datetime as dt
+
+    if isinstance(v, str):
+        v = dt.datetime.fromisoformat(v)
+    if v.tzinfo is None:
+        v = v.replace(tzinfo=dt.timezone.utc)
+    return int(v.timestamp() * 1_000_000)
+
+
+def _file_stats(path: str) -> dict:
+    """Per-file column stats from the parquet footer (rows, ts/lsn
+    min-max) for the manifest — Iceberg writers record the same stats
+    per data file; they are what makes manifest-level file skipping
+    possible without opening data.  One footer read per file,
+    driver-side, at commit time (the files were just written by this
+    driver's job, so the footers are page-cache-warm)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict = {"rows": md.num_rows}
+    mins: dict = {}
+    maxs: dict = {}
+    ok = {"ts": True, "lsn": True}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if name not in ok:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                ok[name] = False  # nulls-only or stats disabled: no claim
+                continue
+            mins[name] = st.min if name not in mins else min(mins[name], st.min)
+            maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+    if ok["ts"] and "ts" in mins:
+        out["ts_min_us"] = _ts_to_us(mins["ts"])
+        out["ts_max_us"] = _ts_to_us(maxs["ts"])
+    if ok["lsn"] and "lsn" in mins:
+        out["lsn_min"] = int(mins["lsn"])
+        out["lsn_max"] = int(maxs["lsn"])
+    return out
+
+
 def lww_reduce(rows: DataFrame) -> DataFrame:
     """Last-write-wins reduce over FILE_COLS rows: per (conv_id,
     turn_idx) keep the highest-lsn row (tombstones included — they keep
@@ -170,6 +219,7 @@ class SnapshotTable:
         root: str,
         n_buckets: int = 32,
         mode: str = "cow",
+        ref: str = "main",
     ):
         """``mode``:
 
@@ -186,14 +236,27 @@ class SnapshotTable:
 
         The mode is persisted in the manifest — reopening an existing
         table keeps its semantics regardless of the argument.
+
+        ``ref`` binds the handle to a named pointer (Iceberg branch
+        semantics): ``"main"`` is the default table pointer
+        (``_current.json``); any other name must have been created with
+        :meth:`create_branch` first.  All reads and commits through the
+        handle follow that ref; other refs are unaffected (the
+        write-audit-publish workflow stages commits on a branch handle,
+        audits its reads, then :meth:`fast_forward`-publishes to main).
         """
         assert mode in ("cow", "mor"), mode
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
         self._mode = mode
+        self.ref = ref
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        if ref != "main" and not os.path.exists(self._pointer_path()):
+            raise ValueError(
+                f"branch {ref!r} does not exist — create_branch() it first"
+            )
         existing = self.manifest()
         if existing["version"] > 0:
             self._mode = existing.get("mode", "cow")
@@ -205,8 +268,14 @@ class SnapshotTable:
 
     # ---------------------------------------------------------------- io
 
-    def _pointer_path(self) -> str:
-        return os.path.join(self.root, "_current.json")
+    def _pointer_path(self, ref: str | None = None) -> str:
+        ref = self.ref if ref is None else ref
+        if ref == "main":
+            return os.path.join(self.root, "_current.json")
+        return os.path.join(self.root, "refs", f"{ref}.json")
+
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self.root, "tags", f"{name}.json")
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.root, "snapshots", f"v{version:010d}.json")
@@ -218,6 +287,28 @@ class SnapshotTable:
                 return json.load(f)["version"]
         except FileNotFoundError:
             return 0
+
+    def _next_version(self) -> int:
+        """Next manifest number: one past the highest REF HEAD (main +
+        branches + tags), not this ref's head + 1 — manifest numbers are
+        a table-global sequence, so a branch commit never collides with
+        a main commit made after the branch point.  Heads bound all
+        reachable history (versions increase along every parent chain),
+        while manifests no ref can reach — crash leftovers whose pointer
+        flip never happened, dropped staged branches — stay overwritable
+        by the next commit, which is the crash-recovery contract
+        (tests/test_replay.py crash #2).  Single-driver allocation; a
+        multi-writer deployment swaps this for the catalog's CAS, as in
+        real Iceberg."""
+        heads = [self._read_ref_version("main")]
+        for d in ("refs", "tags"):
+            ref_dir = os.path.join(self.root, d)
+            if os.path.isdir(ref_dir):
+                for fn in os.listdir(ref_dir):
+                    if fn.endswith(".json"):
+                        with open(os.path.join(ref_dir, fn)) as f:
+                            heads.append(json.load(f)["version"])
+        return max(heads) + 1
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -298,8 +389,183 @@ class SnapshotTable:
             .orderBy("turn_idx")
         )
 
+    def scan(self, ts_min=None, ts_max=None, version: int | None = None) -> DataFrame:
+        """Time-range read with manifest-level file skipping: open only
+        data files whose footer-stat [ts_min, ts_max] range (recorded in
+        the manifest at commit time) overlaps the requested window, then
+        apply the exact residual predicate.
+
+        Why this prunes on a hash-bucketed table: commits only rewrite
+        (COW) or append to (MOR) buckets with ACTIVE conversations, so
+        an idle bucket's files keep their old ts stats and a
+        "recent window" scan skips them entirely — the freshness-query
+        pattern ("what changed this hour") reads ~the working set, not
+        the table.  A full-history file after compaction spans the whole
+        ts range and is correctly never skipped.
+
+        Correctness granularity: **COW** skips at file level (each key
+        appears in exactly one live row per snapshot, so dropping a
+        non-overlapping file drops only rows the residual filter would
+        drop).  **MOR** skips at bucket level — the LWW reduce must see
+        every version of a key, and a key's versions all live in one
+        bucket (hash(conv_id)), so a bucket with NO overlapping file can
+        be skipped wholesale but a bucket with any overlap is read in
+        full.  Files from pre-stats manifests are conservatively read.
+        """
+        m = self.manifest(version)
+        lo = None if ts_min is None else _ts_to_us(ts_min)
+        hi = None if ts_max is None else _ts_to_us(ts_max)
+
+        def overlaps(f: dict) -> bool:
+            if "ts_min_us" not in f:
+                return True  # no stats recorded: never skip
+            if lo is not None and f["ts_max_us"] < lo:
+                return False
+            if hi is not None and f["ts_min_us"] > hi:
+                return False
+            return True
+
+        live = m["files"]
+        if m.get("mode", "cow") == "mor":
+            touched = {f["bucket"] for f in live if overlaps(f)}
+            files = [f for f in live if f["bucket"] in touched]
+        else:
+            files = [f for f in live if overlaps(f)]
+        self.last_scan_stats = {"files_total": len(live), "files_read": len(files)}
+        rows = self._read_files([f["path"] for f in files])
+        if m.get("mode", "cow") == "mor":
+            rows = lww_reduce(rows)
+        import datetime as dt
+
+        if lo is not None:
+            rows = rows.where(
+                F.col("ts")
+                >= F.lit(dt.datetime.fromtimestamp(lo / 1e6, dt.timezone.utc))
+            )
+        if hi is not None:
+            rows = rows.where(
+                F.col("ts")
+                <= F.lit(dt.datetime.fromtimestamp(hi / 1e6, dt.timezone.utc))
+            )
+        return rows.where(F.col("op") != "D").select(*TRANSCRIPT_COLS)
+
     def applied_batches(self) -> dict:
         return self.manifest()["applied_batches"]
+
+    # ------------------------------------------------- refs (branch/tag)
+    # Iceberg ref semantics: a BRANCH is a movable named pointer commits
+    # can advance; a TAG is an immutable named pointer.  Together they
+    # give the write-audit-publish (WAP) workflow: stage micro-batches
+    # on a branch handle, audit its reads (row counts, quality gates,
+    # equality checks), then fast_forward main to publish atomically —
+    # or drop the branch and let expire_snapshots reclaim the staged
+    # files, with main's readers never having seen a staged row.
+
+    def create_branch(self, name: str, at_version: int | None = None) -> int:
+        """Create branch ``name`` at ``at_version`` (default: this
+        handle's head).  Fails if the branch already exists."""
+        assert name != "main", "main is the table's own pointer"
+        path = self._pointer_path(name)
+        if os.path.exists(path):
+            raise ValueError(f"branch {name!r} already exists")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        v = self.current_version() if at_version is None else at_version
+        self._atomic_write_json(path, {"version": v})
+        return v
+
+    def create_tag(self, name: str, at_version: int | None = None) -> int:
+        """Create immutable tag ``name`` (e.g. a training-run's exact
+        input snapshot).  Tags pin their manifest against
+        expire_snapshots, so ``time_travel(tag_version(name))`` keeps
+        working after the retention window moves on."""
+        path = self._tag_path(name)
+        if os.path.exists(path):
+            raise ValueError(f"tag {name!r} already exists")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        v = self.current_version() if at_version is None else at_version
+        self._atomic_write_json(path, {"version": v})
+        return v
+
+    def tag_version(self, name: str) -> int:
+        with open(self._tag_path(name)) as f:
+            return json.load(f)["version"]
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """A handle over the same table bound to branch ``name``."""
+        return SnapshotTable(
+            self.spark, self.root, n_buckets=self.n_buckets,
+            mode=self._mode, ref=name,
+        )
+
+    def drop_branch(self, name: str) -> None:
+        os.remove(self._pointer_path(name))
+
+    def refs(self) -> DataFrame:
+        """All named pointers (main + branches + tags) as a relation."""
+        rows = [("main", "branch", self._read_ref_version("main"))]
+        for kind, d in (("branch", "refs"), ("tag", "tags")):
+            ref_dir = os.path.join(self.root, d)
+            if os.path.isdir(ref_dir):
+                for fn in sorted(os.listdir(ref_dir)):
+                    if fn.endswith(".json"):
+                        with open(os.path.join(ref_dir, fn)) as f:
+                            rows.append((fn[:-5], kind, json.load(f)["version"]))
+        return self.spark.createDataFrame(
+            rows, "name string, kind string, version int"
+        )
+
+    def _read_ref_version(self, ref: str) -> int:
+        try:
+            with open(self._pointer_path(ref)) as f:
+                return json.load(f)["version"]
+        except FileNotFoundError:
+            return 0
+
+    def _is_ancestor(self, anc: int, desc: int) -> bool:
+        """True iff snapshot ``anc`` is on ``desc``'s parent chain.
+        Walking needs the intermediate manifests; if one was expired the
+        chain is unverifiable and we answer False (caller may force)."""
+        v = desc
+        while v > anc:
+            try:
+                v = self.manifest(v).get("parent", 0)
+            except FileNotFoundError:
+                return False
+        return v == anc
+
+    def fast_forward(self, from_ref: str, force: bool = False) -> int:
+        """Publish: move THIS handle's ref to ``from_ref``'s head.
+        Refuses unless this head is an ancestor of the target (i.e. the
+        move loses no commits — true fast-forward); ``force=True``
+        overrides for explicit rollback/replace.  The pointer write is
+        a single atomic rename: readers see either the old snapshot or
+        the published one, never an intermediate."""
+        target = self._read_ref_version(from_ref)
+        mine = self.current_version()
+        if not force and not self._is_ancestor(mine, target):
+            raise ValueError(
+                f"{self.ref!r} (v{mine}) is not an ancestor of "
+                f"{from_ref!r} (v{target}); not a fast-forward"
+            )
+        self._atomic_write_json(self._pointer_path(), {"version": target})
+        return target
+
+    def rollback(self, version: int) -> int:
+        """Iceberg rollback parity: move this ref back to an ANCESTOR
+        snapshot (the inverse ancestry check of fast_forward) — the
+        bad-deploy undo.  The rolled-back-from manifests become
+        unreachable: the next commit may reuse their numbers and
+        expire_snapshots reclaims their files; the applied-batch ledger
+        rolls back with the manifest, so re-delivering the bad batches
+        re-applies them (intended — a rollback says those commits were
+        wrong)."""
+        mine = self.current_version()
+        if not self._is_ancestor(version, mine):
+            raise ValueError(
+                f"v{version} is not an ancestor of {self.ref!r} (v{mine})"
+            )
+        self._atomic_write_json(self._pointer_path(), {"version": version})
+        return version
 
     def changes_between(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Changelog scan (Iceberg "incremental read" parity): the net
@@ -457,11 +723,9 @@ class SnapshotTable:
             bucket = int(bucket_dir.split("=", 1)[1])
             for fn in os.listdir(os.path.join(out_dir, bucket_dir)):
                 if fn.endswith(".parquet"):
+                    path = os.path.join(out_dir, bucket_dir, fn)
                     entries.append(
-                        {
-                            "path": os.path.join(out_dir, bucket_dir, fn),
-                            "bucket": bucket,
-                        }
+                        {"path": path, "bucket": bucket, **_file_stats(path)}
                     )
         return entries
 
@@ -477,7 +741,7 @@ class SnapshotTable:
         entries = self._write_commit_files(
             df.select(*FILE_COLS).withColumn("_bucket", bucket_expr(self.n_buckets))
         )
-        version = cur["version"] + 1
+        version = self._next_version()
         ledger, hw = _roll_ledger(cur, batch_id, version)
         lineage, truncated = _roll_lineage(
             cur,
@@ -535,7 +799,7 @@ class SnapshotTable:
                 (F.col("op") != "D") | (F.col("lsn") >= tombstone_horizon_lsn)
             )
         entries = self._write_commit_files(rows)
-        version = cur["version"] + 1
+        version = self._next_version()
         lineage, truncated = _roll_lineage(
             cur,
             {
@@ -590,7 +854,7 @@ class SnapshotTable:
         except Exception:
             self.n_buckets = old_n  # nothing committed; restore the spec
             raise
-        version = cur["version"] + 1
+        version = self._next_version()
         lineage, truncated = _roll_lineage(
             cur,
             {
@@ -673,11 +937,16 @@ class SnapshotTable:
                 f["path"],
                 int(f["bucket"]),
                 os.path.getsize(f["path"]) if os.path.exists(f["path"]) else None,
+                int(f["rows"]) if f.get("rows") is not None else None,
+                int(f["lsn_min"]) if f.get("lsn_min") is not None else None,
+                int(f["lsn_max"]) if f.get("lsn_max") is not None else None,
             )
             for f in m["files"]
         ]
         return self.spark.createDataFrame(
-            rows, "path string, bucket int, size_bytes long"
+            rows,
+            "path string, bucket int, size_bytes long, n_rows long, "
+            "lsn_min long, lsn_max long",
         )
 
     # ------------------------------------------------------ maintenance
@@ -713,11 +982,33 @@ class SnapshotTable:
             for fn in os.listdir(snap_dir)
             if fn.startswith("v") and fn.endswith(".json")
         )
-        retained = [v for v in versions if v > current - keep_n]
-        expired = [v for v in versions if v <= current - keep_n]
-        if current not in retained:  # pointer must stay readable
-            retained.append(current)
-            expired = [v for v in expired if v != current]
+        # every named pointer (main, branches, tags) pins its head:
+        # a staged-but-unpublished branch must keep its data, and a
+        # tagged training-run snapshot must stay time-travelable.
+        # Dropping the branch/tag un-pins it for the next expiry run.
+        pinned = {current}
+        for kind_dir in ("refs", "tags"):
+            d = os.path.join(self.root, kind_dir)
+            if os.path.isdir(d):
+                for fn in os.listdir(d):
+                    if fn.endswith(".json"):
+                        with open(os.path.join(d, fn)) as f:
+                            pinned.add(json.load(f)["version"])
+        # "newest keep_n" means along THIS ref's ancestry, not the global
+        # manifest sequence — otherwise a dropped branch's head (often
+        # the numerically newest manifest) would be retained forever.
+        # Non-main refs retain exactly their pinned head.
+        chain: set[int] = set()
+        v = current
+        while v > 0 and len(chain) < keep_n:
+            chain.add(v)
+            try:
+                v = self.manifest(v).get("parent", 0)
+            except FileNotFoundError:
+                break
+        keep_set = chain | pinned
+        retained = [v for v in versions if v in keep_set]
+        expired = [v for v in versions if v not in keep_set]
 
         referenced: set[str] = set()
         for v in retained:
@@ -865,7 +1156,7 @@ class SnapshotTable:
         affected: set[int],
         extra_lineage: dict | None,
     ) -> int:
-        version = cur["version"] + 1
+        version = self._next_version()
         ledger, hw = _roll_ledger(cur, batch_id, version)
         lineage_entry = {
             "op": "merge",

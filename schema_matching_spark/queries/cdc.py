@@ -197,12 +197,68 @@ def q_cdc_changelog(spark, sf_dir):
     )
 
 
+def q_cdc_wap(spark, sf_dir):
+    """Write-audit-publish through branch refs (plans/table.py B13,
+    Iceberg WAP parity): merge a batch on a STAGING branch, audit the
+    staged state while main is untouched, fast-forward-publish, and
+    report each phase's state aggregate.  Rows-only (engine-internal
+    generator + table); branch isolation, publish atomicity, ledger
+    carry-over, and GC of dropped branches are pinned in
+    tests/test_refs.py."""
+    import os
+
+    from ..operators.apply import apply_batch
+    from ..plans.table import SnapshotTable
+    from ..sources.generator import changes
+
+    root = tempfile.mkdtemp(prefix="q_wap_")
+    table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=8)
+    apply_batch(
+        table, changes(spark, 4000, n_conv=40, turns_per_conv=12, partitions=4), "b1"
+    )
+    table.create_branch("staging")
+    staging = table.branch("staging")
+    apply_batch(
+        staging,
+        changes(
+            spark, 1500, n_conv=40, turns_per_conv=12, lsn_start=4000, partitions=4
+        ),
+        "b2",
+    )
+
+    def snap(phase, handle):
+        # read() resolves the manifest eagerly, so each phase's file
+        # list is pinned here even though the DataFrame is lazy
+        return (
+            handle.read()
+            .groupBy()
+            .agg(
+                F.count("*").alias("n_turns"),
+                F.countDistinct("conv_id").alias("n_convs"),
+                F.max("ts").alias("max_ts"),
+            )
+            .withColumn("phase", F.lit(phase))
+            .select("phase", "n_turns", "n_convs", "max_ts")
+        )
+
+    staged_main = snap("staged_main", table)
+    staged_branch = snap("staged_branch", staging)
+    table.fast_forward("staging")
+    published = snap("published_main", table)
+    return (
+        staged_main.unionByName(staged_branch)
+        .unionByName(published)
+        .orderBy("phase")
+    )
+
+
 QUERIES = {
     "latest_wins": q_latest_wins,
     "salted_latest_wins": q_salted_latest_wins,
     "delivery_dedup": q_delivery_dedup,
     "cdc_replay_state": q_cdc_replay_state,
     "cdc_changelog": q_cdc_changelog,
+    "cdc_wap": q_cdc_wap,
     "stateful_progress": q_stateful_progress,
 }
 

@@ -66,6 +66,11 @@ def get_spark(
         # network + storage on a real cluster (the modern lake default).
         .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # INT96 (Spark's legacy default) carries NO parquet min/max
+        # statistics — TIMESTAMP_MICROS restores footer stats, which the
+        # snapshot table records in its manifests for time-range file
+        # skipping (plans/table.py scan()).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Latest-wins collapse fetches payloads by joining back on the
         # winning (key, lsn); sort-merge would re-sort the full-width log
