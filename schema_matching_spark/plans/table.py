@@ -949,6 +949,24 @@ class SnapshotTable:
             "lsn_min long, lsn_max long",
         )
 
+    def partitions(self, version: int | None = None) -> DataFrame:
+        """Per-bucket summary (Iceberg ``db.t.partitions`` parity):
+        file count, bytes, rows, lsn span — the small-file /
+        skew-imbalance dashboard a maintenance scheduler reads to pick
+        compaction bucket ranges."""
+        f = self.files(version)
+        return (
+            f.groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_files"),
+                F.sum("size_bytes").alias("bytes"),
+                F.sum("n_rows").alias("n_rows"),
+                F.min("lsn_min").alias("lsn_min"),
+                F.max("lsn_max").alias("lsn_max"),
+            )
+            .orderBy("bucket")
+        )
+
     # ------------------------------------------------------ maintenance
 
     def expire_snapshots(self, keep_n: int = 5) -> dict:

@@ -196,6 +196,14 @@ def test_metadata_views(spark, tmp_path):
     assert len(files) == len(table.manifest()["files"])
     assert all(r["size_bytes"] and r["size_bytes"] > 0 for r in files)
     assert {r["bucket"] for r in files} <= set(range(4))
+    # per-file footer stats surfaced (B14) and consistent
+    assert all(r["n_rows"] and r["lsn_min"] <= r["lsn_max"] for r in files)
+
+    parts = table.partitions().collect()
+    assert sum(r["n_files"] for r in parts) == len(files)
+    assert sum(r["n_rows"] for r in parts) == sum(r["n_rows"] for r in files)
+    assert sum(r["n_rows"] for r in parts) >= table.read().count()  # + tombstones
+    assert max(r["lsn_max"] for r in parts) == max(r["lsn_max"] for r in files)
     # files() of an expired snapshot version raises like Iceberg's
     # time-travel-past-expiry
     table.expire_snapshots(keep_n=1)

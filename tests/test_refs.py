@@ -156,6 +156,51 @@ def test_rollback_to_ancestor(spark, tmp_path):
     assert states_equal(main.read(), expected_state(log1.unionByName(log2)))
 
 
+def test_interleaved_branch_torture(spark, tmp_path):
+    """Gnarly interleaving of commits, divergence, rollback, publish,
+    and post-publish commits across two branches — pins the interaction
+    of ancestry checks, global version allocation, and per-ref ledgers."""
+    def batch(lo, hi):
+        return changes(
+            spark, hi - lo, n_conv=20, turns_per_conv=8,
+            lsn_start=lo, partitions=2,
+        )
+
+    b1, b2, b3, b4 = batch(0, 800), batch(800, 1600), batch(1600, 2400), \
+        batch(2400, 3200)
+    main = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=8)
+    apply_batch(main, b1, "b1")
+    v1 = main.current_version()
+    main.create_branch("x")
+    x = main.branch("x")
+    apply_batch(main, b2, "b2")          # main diverges
+    apply_batch(x, b3, "b3")             # branch diverges too
+    x.create_branch("x2")                # branch-of-branch (same head)
+    x2 = main.branch("x2")
+
+    assert states_equal(main.read(), expected_state(b1.unionByName(b2)))
+    assert states_equal(x.read(), expected_state(b1.unionByName(b3)))
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        main.fast_forward("x")           # diverged: refused
+    main.rollback(v1)                    # undo b2
+    assert states_equal(main.read(), expected_state(b1))
+    main.fast_forward("x")               # now a true fast-forward
+    assert states_equal(main.read(), expected_state(b1.unionByName(b3)))
+    # replaying the branch's batch on published main is a ledger no-op
+    assert apply_batch(main, b3, "b3") == main.current_version()
+
+    apply_batch(main, b4, "b4")          # post-publish commit on main
+    full = b1.unionByName(b3).unionByName(b4)
+    assert states_equal(main.read(), expected_state(full))
+    # the other refs were never moved
+    assert states_equal(x.read(), expected_state(b1.unionByName(b3)))
+    assert states_equal(x2.read(), expected_state(b1.unionByName(b3)))
+    # retention keeps every ref head readable
+    main.expire_snapshots(keep_n=1)
+    assert states_equal(x2.read(), expected_state(b1.unionByName(b3)))
+    assert states_equal(main.read(), expected_state(full))
+
+
 def test_refs_view_and_missing_branch(spark, tmp_path):
     log1, _ = _logs(spark)
     main = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=8)
