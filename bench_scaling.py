@@ -54,6 +54,116 @@ WEAK_SIZES = [2_000_000, 10_000_000, 20_000_000]
 PROBE_EVENTS = int(os.environ.get("SPARK_GRAFT_PROBE_EVENTS", "20000000"))
 
 
+HISTORY = os.path.join(HERE, "BENCH", "runs.jsonl")
+
+
+def _append_history(record: dict) -> None:
+    os.makedirs(os.path.dirname(HISTORY), exist_ok=True)
+    with open(HISTORY, "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+def _load_history() -> list[dict]:
+    if not os.path.exists(HISTORY):
+        return []
+    out = []
+    with open(HISTORY) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def _run_eff(r: dict, section: str) -> float | None:
+    """Single-run 8->32 efficiency for one section of a history record
+    (times for replay/probe/arith, rates for sha)."""
+    d = r.get(section)
+    if not d or d.get("8") is None or d.get("32") is None:
+        return None
+    if section == "sha_hps":
+        return (d["32"] / d["8"]) / 4.0
+    return (d["8"] / d["32"]) / 4.0
+
+
+def _debiased(history: list[dict]) -> dict:
+    """Noise-debiased cross-run efficiencies: best (min) time per config
+    across ALL runs, then the ratio.  Host contention only ever slows a
+    run down, so min-time per config is the standard noise rejection —
+    unlike max-of-per-run-RATIOS, which is noise-INFLATED (a contended
+    8-thread baseline inflates that run's ratio; observed twice in this
+    history: sha 0.851 and arith 0.856 readings whose 8-thread legs were
+    1.4-1.8x slower than the best run's)."""
+    out: dict = {}
+    for section in ("replay_sec", "probe_sec", "arith_sec", "sha_hps"):
+        agg = max if section == "sha_hps" else min
+        v8 = [r[section]["8"] for r in history
+              if r.get(section, {}).get("8") is not None]
+        v32 = [r[section]["32"] for r in history
+               if r.get(section, {}).get("32") is not None]
+        if not v8 or not v32:
+            continue
+        best8, best32 = agg(v8), agg(v32)
+        eff = (best32 / best8) / 4.0 if section == "sha_hps" \
+            else (best8 / best32) / 4.0
+        out[section] = {"best8": best8, "best32": best32, "eff": eff}
+    probes = [out[s]["eff"] for s in ("probe_sec", "arith_sec", "sha_hps")
+              if s in out]
+    out["ceiling"] = max(probes) if probes else None
+    if "replay_sec" in out and out["ceiling"]:
+        out["normalized"] = out["replay_sec"]["eff"] / out["ceiling"]
+    return out
+
+
+def _history_md(history: list[dict], deb: dict) -> str:
+    rows = []
+    for i, r in enumerate(history, 1):
+        cells = []
+        for section in ("replay_sec", "probe_sec", "arith_sec", "sha_hps"):
+            e = _run_eff(r, section)
+            cells.append("—" if e is None else f"{e:.3f}")
+        rows.append(f"| {i} | " + " | ".join(cells) + " |")
+    lines = "\n".join(rows)
+    rep, ceil = deb.get("replay_sec"), deb.get("ceiling")
+    norm = deb.get("normalized")
+    return f"""
+## Cross-run variance and the noise-debiased estimate
+
+Per-run 8 -> 32 efficiencies across every recorded run of this harness
+(BENCH/runs.jsonl; — = section not recorded that run):
+
+| run | replay | generator probe | arith probe | sha256 probe |
+|---|---|---|---|---|
+{lines}
+
+Single-run ratios swing ±0.15 with host contention — and NOT
+symmetrically: a contended 8-thread leg *inflates* that run's ratio
+(the 0.85+ probe readings above came from runs whose 8-thread legs were
+1.4–1.8x slower than the best run's).  So the honest estimator is
+**best time per config across all runs, then the ratio** — contention
+only ever slows a leg down, so min-time is a sound per-config estimate
+and the resulting ratio is debiased in both directions.
+
+| section | best local[8] | best local[32] | debiased efficiency |
+|---|---|---|---|
+| CDC replay | {rep['best8']:.1f} s | {rep['best32']:.1f} s | **{rep['eff']:.3f}** |
+| generator probe | {deb['probe_sec']['best8']:.1f} s | {deb['probe_sec']['best32']:.1f} s | {deb['probe_sec']['eff']:.3f} |
+| arith probe | {deb['arith_sec']['best8']:.1f} s | {deb['arith_sec']['best32']:.1f} s | {deb['arith_sec']['eff']:.3f} |
+| sha256 probe | {deb['sha_hps']['best8']:,.0f} h/s | {deb['sha_hps']['best32']:,.0f} h/s | {deb['sha_hps']['eff']:.3f} |
+
+**Debiased host ceiling (best probe): {ceil:.3f}.  Debiased replay
+efficiency: {rep['eff']:.3f} raw, {norm:.3f} normalized to the
+ceiling.**  These supersede any single run's headline (including the
+one above): earlier rounds' higher normalized readings (0.82–0.92)
+paired a contention-slowed 8-thread replay with a clean-run ceiling;
+with the inflation removed, the box's probes top out at ~{ceil:.2f}
+and the replay reaches ~{norm:.0%} of that.  The raw 0.8 target
+remains unreachable on this host for any workload measured, Spark or
+not; weak scaling (above) and the per-stage CPU accounting carry the
+rest of the scale argument.
+"""
+
+
 def _replay_times(spark, wal: str, scratch: str, tag: str, reps: int):
     """Returns (times, windows): per-rep wall seconds and (t0, t1)
     epoch-second windows for event-log stage filtering."""
@@ -318,6 +428,21 @@ def main() -> None:
 
     tot8, tot32 = _totals(stage_reports[8]), _totals(stage_reports[32])
 
+    _append_history({
+        "wall_ts": time.time(),
+        "events": EVENTS,
+        "replay_sec": {"8": round(strong[8], 3), "32": round(strong[32], 3)},
+        "probe_sec": {"8": round(probe[8], 2), "32": round(probe[32], 2)},
+        "arith_sec": {"8": round(arith[8], 2), "32": round(arith[32], 2)},
+        "sha_hps": {"8": round(ceiling["hps_8"], 1),
+                    "32": round(ceiling["hps_32"], 1)},
+        "weak_events_per_sec": {
+            str(k): round(v, 1) for k, v in weak_rows.items()
+        },
+    })
+    history = _load_history()
+    deb = _debiased(history)
+
     result = {
         "metric": "cdc_replay_scaling_efficiency_local8_to_local32",
         "value": round(eff, 4),
@@ -330,15 +455,24 @@ def main() -> None:
         "arith_probe_sec": {str(k): round(v, 2) for k, v in arith.items()},
         "arith_probe_efficiency": round(eff_arith, 4),
         "host_ceiling_efficiency": round(ceiling["efficiency"], 4),
-        # Any measured 8->32 efficiency LOWER-BOUNDS the host's true
-        # ceiling, so normalize against the best observation across all
-        # probes — conservative (<=1) by construction even if one probe
-        # reads low on a noisy run.
+        # THIS RUN's max probe ratio.  NOTE: max-of-single-run-RATIOS is
+        # contention-biased (a slow 8-thread leg inflates a ratio), so
+        # these two fields are per-run diagnostics only — the headline
+        # is the cross-run min-time "debiased" block below.
         "host_ceiling_best_observed": round(ceiling_best, 4),
         "efficiency_normalized_to_ceiling": round(eff / ceiling_best, 4),
         "stage_totals": {"8": tot8, "32": tot32},
         "weak_scaling_events_per_sec": {
             str(k): round(v, 1) for k, v in weak_rows.items()
+        },
+        # min-time-per-config across ALL recorded runs (BENCH/runs.jsonl)
+        # — the headline numbers; see _debiased for why single-run
+        # ratios (and max-of-ratios "ceilings") are contention-biased.
+        "debiased": {
+            "runs": len(history),
+            "replay_efficiency": round(deb["replay_sec"]["eff"], 4),
+            "ceiling": round(deb["ceiling"], 4),
+            "normalized": round(deb["normalized"], 4),
         },
     }
 
@@ -362,19 +496,18 @@ untimed warm-up replay per config, best of {REPS} timed replays.
 | local[8]  | {EVENTS:,} | {strong[8]:.1f} | {thr8:,.0f} | True (bench.py) |
 | local[32] | {EVENTS:,} | {strong[32]:.1f} | {thr32:,.0f} | True (bench.py) |
 
-**Scaling efficiency (8 -> 32 threads): {eff:.3f}** (target >= 0.8)
-
-**Host ceiling, best observed lower bound for the same 8 -> 32 step:
-{ceiling_best:.3f}** — the maximum efficiency ANY workload achieved on
-this box (sha256 process probe {ceiling['efficiency']:.3f}:
-{ceiling['hps_8']:,.0f} -> {ceiling['hps_32']:,.0f} hashes/s;
-allocation-free Spark arithmetic {eff_arith:.3f}; generator probe
-{eff_probe:.3f}).  Every measurement lower-bounds the true ceiling, so
-the max across them is the conservative estimate; even the best
-workload measured on this box sits below the 0.8 target, including
-Spark-free and allocation-free controls — the target is above what the
-hypervisor's vCPUs deliver for ANY software here.
-**Replay efficiency normalized to that ceiling: {eff/ceiling_best:.3f}.**
+**This run's scaling efficiency (8 -> 32 threads): {eff:.3f}**
+(target >= 0.8).  Single-run ratios carry ±0.15 of host-contention
+noise — the HEADLINE numbers are the cross-run debiased estimates at
+the bottom of this file: **replay {deb['replay_sec']['eff']:.3f} raw,
+host ceiling {deb['ceiling']:.3f} (best probe), normalized
+{deb['normalized']:.3f}** over {len(history)} recorded runs.  This
+run's probes: sha256 {ceiling['efficiency']:.3f}
+({ceiling['hps_8']:,.0f} -> {ceiling['hps_32']:,.0f} hashes/s),
+allocation-free Spark arithmetic {eff_arith:.3f}, generator
+{eff_probe:.3f}.  Even the best debiased probe sits below the 0.8
+target, Spark-free controls included — the target is above what the
+hypervisor's vCPUs deliver for ANY software on this box.
 
 ## Control probes: efficiency vs memory intensity
 
@@ -459,7 +592,7 @@ sort-falling-back ObjectHashAggregate), shuffled-hash join-back
 (parallel per-partition builds instead of a driver-serialized
 broadcast build), and single wide shuffle per commit (direct
 bucket-partitioned write; no re-repartition of full-width rows).
-""")
+{_history_md(history, deb)}""")
     print(json.dumps(result))
 
 
