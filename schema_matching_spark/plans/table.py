@@ -41,6 +41,7 @@ surface below mirrors what it needs.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -173,6 +174,94 @@ def _file_stats(path: str) -> dict:
     return out
 
 
+_BLOOM_K = 7  # hash probes; with 10 bits/key this gives ~1% fpp
+_BLOOM_MAX_NDV = 1 << 18
+#: Files with more distinct keys than the cap ship NO bloom (read
+#: unconditionally).  Deliberate: past ~the bucket's full key set a
+#: bloom answers "maybe" for every probe anyway — compacted full-bucket
+#: files gain nothing, while DELTA files (one micro-batch's working set)
+#: are exactly where skipping pays.
+
+
+def _bloom_hashes(key: str) -> tuple[int, int]:
+    """Two independent 64-bit hashes (md5 halves) for double hashing —
+    deterministic across processes/engines, unlike builtin hash()."""
+    import hashlib
+
+    d = hashlib.md5(key.encode("utf-8")).digest()
+    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:16], "little") | 1
+
+
+def _build_key_bloom(values: list) -> dict | None:
+    """Bloom filter over distinct key strings: m = next pow2 ≥ 10 bits
+    per key, k=7 probes via double hashing → ~1% false-positive rate.
+    Returns None above the NDV cap (caller records no bloom)."""
+    import base64
+
+    n = len(values)
+    if n == 0 or n > _BLOOM_MAX_NDV:
+        return None
+    m = 64
+    while m < n * 10:
+        m <<= 1
+    bits = bytearray(m >> 3)
+    for v in values:
+        h1, h2 = _bloom_hashes(v)
+        for i in range(_BLOOM_K):
+            p = (h1 + i * h2) % m
+            bits[p >> 3] |= 1 << (p & 7)
+    return {
+        "algo": "md5dh",
+        "m": m,
+        "k": _BLOOM_K,
+        "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+    }
+
+
+def _bloom_may_contain(bloom: dict, key: str) -> bool:
+    """False = key definitively absent from the file (no false
+    negatives); True = must read."""
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    m = bloom["m"]
+    h1, h2 = _bloom_hashes(key)
+    for i in range(bloom.get("k", _BLOOM_K)):
+        p = (h1 + i * h2) % m
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
+def _file_key_profile(path: str) -> tuple[dict | None, int]:
+    """(conv_id bloom | None, live-row count) for one just-written data
+    file.  Reads only the conv_id+op columns (dictionary-encoded,
+    page-cache-warm at commit time).  On a real cluster this profile is
+    computed inside the write tasks, like Iceberg's writer-side blooms /
+    puffin stats; the driver-side loop here mirrors where this sandbox
+    already assembles the manifest."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["conv_id", "op"])
+    deleted = pc.sum(pc.equal(t.column("op"), "D")).as_py() or 0
+    uniq = pc.unique(t.column("conv_id")).to_pylist()
+    return _build_key_bloom(uniq), t.num_rows - deleted
+
+
+@functools.lru_cache(maxsize=256)
+def _load_bloom_sidecar(path: str) -> dict:
+    """Sidecar JSON {data-file path -> bloom}.  Sidecars are immutable
+    (written once per commit, next to the data files) so an in-process
+    cache needs no invalidation; lookups touching the same commit's
+    files pay one read."""
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except OSError:
+        return {}  # expired/missing sidecar: no claim, read the file
+
+
 def lww_reduce(rows: DataFrame) -> DataFrame:
     """Last-write-wins reduce over FILE_COLS rows: per (conv_id,
     turn_idx) keep the highest-lsn row (tombstones included — they keep
@@ -220,6 +309,7 @@ class SnapshotTable:
         n_buckets: int = 32,
         mode: str = "cow",
         ref: str = "main",
+        key_blooms: bool = False,
     ):
         """``mode``:
 
@@ -236,6 +326,17 @@ class SnapshotTable:
 
         The mode is persisted in the manifest — reopening an existing
         table keeps its semantics regardless of the argument.
+
+        ``key_blooms=True`` records, per written data file, a conv_id
+        bloom filter (in a per-commit sidecar, like Iceberg's puffin
+        files — never inline in the manifest, which must stay small)
+        plus a live-row count.  :meth:`lookup` then skips bucket files
+        that definitively lack the key, and :meth:`count` answers from
+        metadata on COW.  Opt-in, mirroring Iceberg's
+        ``write.parquet.bloom-filter-enabled.column.*`` table property:
+        the profile costs one (conv_id, op) column read per file at
+        commit, which a hot ingest path shouldn't pay unless the table
+        serves point reads.  Persisted in the manifest like ``mode``.
 
         ``ref`` binds the handle to a named pointer (Iceberg branch
         semantics): ``"main"`` is the default table pointer
@@ -257,10 +358,12 @@ class SnapshotTable:
             raise ValueError(
                 f"branch {ref!r} does not exist — create_branch() it first"
             )
+        self._key_blooms = key_blooms
         existing = self.manifest()
         if existing["version"] > 0:
             self._mode = existing.get("mode", "cow")
             self.n_buckets = existing.get("n_buckets", n_buckets)
+            self._key_blooms = existing.get("key_blooms", key_blooms)
 
     @property
     def mode(self) -> str:
@@ -334,6 +437,7 @@ class SnapshotTable:
 
     def _commit(self, manifest: dict) -> int:
         version = manifest["version"]
+        manifest.setdefault("key_blooms", self._key_blooms)
         self._atomic_write_json(self._manifest_path(version), manifest)
         self._atomic_write_json(self._pointer_path(), {"version": version})
         return version
@@ -379,7 +483,26 @@ class SnapshotTable:
             .select(bucket_expr(m.get("n_buckets", self.n_buckets)).alias("b"))
             .collect()[0]["b"]
         )
-        paths = [f["path"] for f in m["files"] if f["bucket"] == b]
+        in_bucket = [f for f in m["files"] if f["bucket"] == b]
+        # second pruning layer (when the table records key blooms): skip
+        # bucket files whose bloom says conv_id is definitively absent.
+        # LWW-safe on MOR — a skipped file contributes NO row for this
+        # key (blooms have no false negatives), so the reduce still sees
+        # every version of it.  Delta files are where this pays: a
+        # conversation active in 3 of 200 micro-batches reads ~3 deltas
+        # instead of 200.  Entries without a bloom (pre-bloom commits,
+        # NDV-capped compacted files) are conservatively read.
+        paths = []
+        for f in in_bucket:
+            if "bloom_sidecar" in f:
+                bloom = _load_bloom_sidecar(f["bloom_sidecar"]).get(f["path"])
+                if bloom is not None and not _bloom_may_contain(bloom, conv_id):
+                    continue
+            paths.append(f["path"])
+        self.last_lookup_stats = {
+            "files_in_bucket": len(in_bucket),
+            "files_read": len(paths),
+        }
         rows = self._read_files(paths).where(F.col("conv_id") == conv_id)
         if m.get("mode", "cow") == "mor":
             rows = lww_reduce(rows)
@@ -448,6 +571,29 @@ class SnapshotTable:
                 <= F.lit(dt.datetime.fromtimestamp(hi / 1e6, dt.timezone.utc))
             )
         return rows.where(F.col("op") != "D").select(*TRANSCRIPT_COLS)
+
+    def count(self, version: int | None = None) -> int:
+        """Live-row count.  On a COW snapshot whose files all carry
+        ``rows_live`` stats (``key_blooms=True`` tables), the answer
+        comes straight from the manifest — zero Spark jobs, zero data
+        reads — because a COW snapshot holds exactly one row per live
+        key across disjoint files (Iceberg answers ``count(*)`` from
+        manifest stats the same way when no delete files apply).  MOR
+        snapshots (delta files may shadow older versions of a key, so
+        per-file counts overcount) and stat-less files fall back to a
+        real scan.  ``last_count_source`` records which path answered.
+        """
+        m = self.manifest(version)
+        if not m["files"]:
+            self.last_count_source = "metadata"
+            return 0
+        if m.get("mode", "cow") == "cow" and all(
+            "rows_live" in f for f in m["files"]
+        ):
+            self.last_count_source = "metadata"
+            return sum(f["rows_live"] for f in m["files"])
+        self.last_count_source = "scan"
+        return self.read(version).count()
 
     def applied_batches(self) -> dict:
         return self.manifest()["applied_batches"]
@@ -727,6 +873,21 @@ class SnapshotTable:
                     entries.append(
                         {"path": path, "bucket": bucket, **_file_stats(path)}
                     )
+        if self._key_blooms and entries:
+            # per-commit bloom sidecar (Iceberg-puffin role): blooms are
+            # KB-scale per file and the manifest is carried forward
+            # whole every commit, so they must live beside the data,
+            # referenced by path — never inline.
+            sidecar = os.path.join(out_dir, "_blooms.json")
+            blooms: dict[str, dict] = {}
+            for e in entries:
+                bloom, rows_live = _file_key_profile(e["path"])
+                e["rows_live"] = rows_live
+                if bloom is not None:
+                    blooms[e["path"]] = bloom
+                    e["bloom_sidecar"] = sidecar
+            with open(sidecar, "w") as f:
+                json.dump(blooms, f)
         return entries
 
     def overwrite(self, df: DataFrame, batch_id: str | None = None) -> int:
@@ -1030,7 +1191,13 @@ class SnapshotTable:
 
         referenced: set[str] = set()
         for v in retained:
-            referenced.update(f["path"] for f in self.manifest(v)["files"])
+            for f in self.manifest(v)["files"]:
+                referenced.add(f["path"])
+                if "bloom_sidecar" in f:
+                    # a live carried-forward entry keeps its commit's
+                    # bloom sidecar alive; fully-expired commits drop
+                    # theirs via the non-parquet sweep below
+                    referenced.add(f["bloom_sidecar"])
 
         manifests_deleted = 0
         for v in expired:
