@@ -273,6 +273,82 @@ def bench_scan_pruning(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_point_lookup(
+    spark, base_events: int = 500_000, n_deltas: int = 40, n_buckets: int = 64,
+    partitions: int = 16,
+):
+    """Point-read path with per-file key blooms (B5/B8 serving layer):
+    bootstrap a MOR table, land ``n_deltas`` micro-batches that never
+    touch the probed conversation, then time ``lookup()`` (bloom-pruned)
+    against the same read done bloom-blind (every file of the key's
+    bucket).  files_read / files_in_bucket is the scale-relevant number:
+    on object storage each skipped delta file is a skipped GET, and a
+    long-running MOR stream accretes hundreds of deltas per bucket
+    between compactions."""
+    from pyspark.sql import functions as F
+
+    from schema_matching_spark.operators.apply import apply_batch
+    from schema_matching_spark.plans.table import SnapshotTable, lww_reduce
+    from schema_matching_spark.sources.generator import changes
+
+    root = tempfile.mkdtemp(prefix="bench_lookup_", dir=_scratch_base())
+    try:
+        n_conv = max(base_events // 200, 100)
+        probe = "conv-00000007"
+        table = SnapshotTable(
+            spark, os.path.join(root, "tbl"), n_buckets=n_buckets,
+            mode="mor", key_blooms=True,
+        )
+        apply_batch(
+            table,
+            changes(spark, base_events, n_conv=n_conv, turns_per_conv=50,
+                    partitions=partitions),
+            "bootstrap",
+        )
+        # deltas span the whole key space EXCEPT the probed conversation
+        # (so its bucket keeps gaining files that provably lack it)
+        for i in range(n_deltas):
+            delta = changes(
+                spark, 50_000, n_conv=n_conv, turns_per_conv=50,
+                lsn_start=base_events + i * 100_000, partitions=4,
+            ).where(F.col("conv_id") != probe)
+            apply_batch(table, delta, f"d{i}")
+
+        bloom_sec = blind_sec = None
+        rows_bloom = rows_blind = 0
+        for _ in range(2):
+            t0 = time.time()
+            rows_bloom = table.lookup(probe).count()
+            el = time.time() - t0
+            bloom_sec = el if bloom_sec is None else min(bloom_sec, el)
+        stats = dict(table.last_lookup_stats)
+        # bloom-blind baseline: same bucket-id evaluation, then read
+        # EVERY file of the probe's bucket (what lookup() does on a
+        # bloom-less table)
+        for _ in range(2):
+            t1 = time.time()
+            bucket_paths = [f["path"] for f in table._bucket_entries(probe)]
+            rows_blind = (
+                lww_reduce(table._read_files(bucket_paths)
+                           .where(F.col("conv_id") == probe))
+                .where(F.col("op") != "D").count()
+            )
+            el = time.time() - t1
+            blind_sec = el if blind_sec is None else min(blind_sec, el)
+        assert rows_bloom == rows_blind, (rows_bloom, rows_blind)
+        return {
+            "base_events": base_events,
+            "n_deltas": n_deltas,
+            "files_in_bucket": stats["files_in_bucket"],
+            "files_read": stats["files_read"],
+            "lookup_bloom_sec": round(bloom_sec, 3),
+            "lookup_blind_sec": round(blind_sec, 3),
+            "speedup": round(blind_sec / bloom_sec, 2) if bloom_sec > 0 else None,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -311,9 +387,11 @@ def main() -> None:
     inc = bench_cdc_incremental(spark, mode="cow")
     inc_mor = bench_cdc_incremental(spark, mode="mor")
     scan_prune = bench_scan_pruning(spark)
+    point_lookup = bench_point_lookup(spark)
     timings["cdc_incremental_cow"] = inc["incremental_sec"]
     timings["cdc_incremental_mor"] = inc_mor["incremental_sec"]
     timings["scan_pruned_window"] = scan_prune["scan_sec"]
+    timings["point_lookup"] = point_lookup["lookup_bloom_sec"]
 
     if not args.cdc_only:
         import __spark_entry__ as E
@@ -352,6 +430,7 @@ def main() -> None:
         "cdc_incremental": inc,
         "cdc_incremental_mor": inc_mor,
         "scan_pruning": scan_prune,
+        "point_lookup": point_lookup,
     }
     print(json.dumps(out))
 

@@ -463,6 +463,20 @@ class SnapshotTable:
     def time_travel(self, version: int) -> DataFrame:
         return self.read(version)
 
+    def _bucket_entries(self, conv_id: str, manifest: dict | None = None) -> list[dict]:
+        """Manifest file entries of ``conv_id``'s hash bucket.  The
+        bucket id is evaluated driver-side with the SAME expression the
+        writer used (never reimplement the hash in Python), under the
+        given manifest's bucket spec (a rebucket() may have changed it
+        since that snapshot)."""
+        m = manifest if manifest is not None else self.manifest()
+        b = (
+            self.spark.createDataFrame([(conv_id,)], "conv_id string")
+            .select(bucket_expr(m.get("n_buckets", self.n_buckets)).alias("b"))
+            .collect()[0]["b"]
+        )
+        return [f for f in m["files"] if f["bucket"] == b]
+
     def lookup(self, conv_id: str, version: int | None = None) -> DataFrame:
         """Point read of one conversation: manifest-level bucket
         pruning (open ONLY the files of conv_id's hash bucket —
@@ -474,16 +488,7 @@ class SnapshotTable:
         (commit files are sorted by (bucket, conv_id, turn_idx), so
         min/max stats bracket the conversation tightly)."""
         m = self.manifest(version)
-        # evaluate the bucket id driver-side with the SAME expression
-        # the writer used (never reimplement the hash in Python), under
-        # the SNAPSHOT's bucket spec (a rebucket() may have changed it
-        # since `version`)
-        b = (
-            self.spark.createDataFrame([(conv_id,)], "conv_id string")
-            .select(bucket_expr(m.get("n_buckets", self.n_buckets)).alias("b"))
-            .collect()[0]["b"]
-        )
-        in_bucket = [f for f in m["files"] if f["bucket"] == b]
+        in_bucket = self._bucket_entries(conv_id, m)
         # second pruning layer (when the table records key blooms): skip
         # bucket files whose bloom says conv_id is definitively absent.
         # LWW-safe on MOR — a skipped file contributes NO row for this
@@ -571,6 +576,30 @@ class SnapshotTable:
                 <= F.lit(dt.datetime.fromtimestamp(hi / 1e6, dt.timezone.utc))
             )
         return rows.where(F.col("op") != "D").select(*TRANSCRIPT_COLS)
+
+    def read_keys(self, keys: DataFrame, version: int | None = None) -> DataFrame:
+        """Live rows (transcript cols + lsn) of ONLY the conversations
+        in ``keys`` (a one-column conv_id DataFrame), opening only the
+        files of the touched hash buckets — the group-recompute read
+        behind derived-aggregate maintenance (streaming/derived.py).
+
+        The driver collects only the touched BUCKET IDS (≤ n_buckets
+        scalars, same bound merge_apply already relies on), never data:
+        cost scales with touched buckets, not table size.  The residual
+        per-conversation semi join is left to AQE — broadcast when the
+        key set is batch-small, shuffle when it isn't."""
+        m = self.manifest(version)
+        nb = m.get("n_buckets", self.n_buckets)
+        keys = keys.select("conv_id").distinct()
+        touched = {
+            r["b"]
+            for r in keys.select(bucket_expr(nb).alias("b")).distinct().collect()
+        }
+        paths = [f["path"] for f in m["files"] if f["bucket"] in touched]
+        rows = self._read_files(paths).join(keys, "conv_id", "semi")
+        if m.get("mode", "cow") == "mor":
+            rows = lww_reduce(rows)
+        return rows.where(F.col("op") != "D").select(*TRANSCRIPT_COLS, "lsn")
 
     def count(self, version: int | None = None) -> int:
         """Live-row count.  On a COW snapshot whose files all carry
@@ -713,7 +742,9 @@ class SnapshotTable:
         self._atomic_write_json(self._pointer_path(), {"version": version})
         return version
 
-    def changes_between(self, v_from: int, v_to: int | None = None) -> DataFrame:
+    def changes_between(
+        self, v_from: int, v_to: int | None = None, images: bool = False
+    ) -> DataFrame:
         """Changelog scan (Iceberg "incremental read" parity): the net
         per-key changes committed after snapshot ``v_from`` up to
         ``v_to`` (default current), as a change feed —
@@ -744,6 +775,15 @@ class SnapshotTable:
         must not have aged out deletes newer than ``v_from``; an
         ``overwrite()`` between the snapshots resets lsn provenance and
         breaks changelog continuity.
+
+        ``images=True`` upgrades the feed to Delta-CDF-style row
+        images: ``update`` becomes TWO rows (``update_preimage`` with
+        the old payload and old lsn, ``update_postimage`` with the
+        new), and ``delete`` carries the DELETED row's payload (with
+        the tombstone's lsn as the progression marker).  Costs one
+        extra wide read of the touched buckets' FROM-side files,
+        key-joined to the net feed — the from-state the default path
+        already scans narrow.
         """
         m_from = self.manifest(v_from)
         m_to = self.manifest(v_to)
@@ -789,12 +829,44 @@ class SnapshotTable:
             .when(from_live, F.lit("update"))
             .otherwise(F.lit("insert"))
         )
-        return (
+        net = (
             joined.where(progressed)
             .select(change_type.alias("change_type"), *FILE_COLS)
             .where(F.col("change_type").isNotNull())
             .drop("op")
         )
+        if not images:
+            return net
+        # pre-image side: the FROM-state winners, read wide this time,
+        # inner-joined to the keys whose change needs an old payload
+        # (updates and deletes).  The join IS the filter; the net feed's
+        # key set is span-bounded, so AQE broadcasts it in the common
+        # case.
+        need_pre = net.where(
+            F.col("change_type").isin("update", "delete")
+        ).select(
+            *KEY_COLS,
+            F.col("change_type").alias("_ct"),
+            F.col("lsn").alias("_chg_lsn"),
+        )
+        old_wide = lww_reduce(self._read_files(from_paths)).drop("op")
+        pre = old_wide.join(need_pre, KEY_COLS).select(
+            F.when(F.col("_ct") == "delete", F.lit("delete"))
+            .otherwise(F.lit("update_preimage"))
+            .alias("change_type"),
+            *TRANSCRIPT_COLS,
+            F.when(F.col("_ct") == "delete", F.col("_chg_lsn"))
+            .otherwise(F.col("lsn"))
+            .alias("lsn"),
+        )
+        post = net.where(F.col("change_type") != "delete").select(
+            F.when(F.col("change_type") == "update", F.lit("update_postimage"))
+            .otherwise(F.lit("insert"))
+            .alias("change_type"),
+            *TRANSCRIPT_COLS,
+            "lsn",
+        )
+        return post.unionByName(pre)
 
     def _empty_changelog(self) -> DataFrame:
         schema = StructType(

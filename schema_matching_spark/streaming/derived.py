@@ -58,6 +58,129 @@ def derived_events(
     return rows.select(F.col("_op").alias("op"), "lsn", *TRANSCRIPT_COLS)
 
 
+#: Stat fields of the per-conversation rollup, in the (deterministic)
+#: JSON field order they are encoded with.
+ROLLUP_STATS = ["n_turns", "n_user", "n_assistant", "n_tool", "total_chars"]
+
+
+def conversation_rollup(live: DataFrame) -> DataFrame:
+    """One stats row per conversation from live transcript rows
+    (+lsn): turn counts by role and total text length.  All-long
+    aggregate buffers — this stays a narrow HashAggregate (the repo's
+    agg rule); the JSON encoding happens AFTER the aggregate, on one
+    row per group."""
+    return live.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("long")).alias("n_assistant"),
+        F.sum((F.col("role") == "tool").cast("long")).alias("n_tool"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0)).cast("long")).alias(
+            "total_chars"
+        ),
+        F.max("ts").alias("_ts"),
+    )
+
+
+def rollup_events(feed: DataFrame, bronze: SnapshotTable) -> DataFrame:
+    """Map one changelog micro-batch to the change events maintaining a
+    per-conversation AGGREGATE view (the gold hop): group-recompute
+    incremental view maintenance.
+
+    The feed carries net per-key changes but no pre-images, so
+    subtractive retraction isn't possible — instead every conversation
+    the batch TOUCHES is recomputed exactly, from only its own hash
+    bucket's files (``read_keys``).  Cost per batch is O(touched
+    buckets), the same bound as the upstream merge itself; conversations
+    the batch doesn't touch are never read.
+
+    Convergence: the recompute reads bronze's CURRENT snapshot and
+    stamps rows with that snapshot version as the gold lsn.  The payload
+    is a pure function of (conv_id, bronze@version) and the version is
+    commit-monotonic, so replays and overlapping recomputes are
+    idempotent — equal lsns always carry equal payloads, later versions
+    always win.  A conversation with no live rows left becomes a gold
+    tombstone (guarding the key against out-of-order redelivery, like
+    the silver hop).
+
+    The aggregate is encoded INTO the transcript row shape — one row
+    per conversation: ``turn_idx=0, role='rollup', text=`` JSON of
+    ``ROLLUP_STATS``, ``ts=`` the conversation's max event time — so the
+    gold table reuses the full snapshot-table machinery (exactly-once
+    ledger, time travel, change feed, compaction) unchanged.
+    """
+    v = bronze.current_version()
+    touched = feed.groupBy("conv_id").agg(F.max("ts").alias("_feed_ts"))
+    live = bronze.read_keys(touched.select("conv_id"), version=v)
+    agg = conversation_rollup(live)
+    gone = F.col("n_turns").isNull()
+    stats_json = F.to_json(F.struct(*ROLLUP_STATS))
+    return touched.join(agg, "conv_id", "left").select(
+        F.lit(v).cast("long").alias("lsn"),
+        F.when(gone, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.coalesce(F.col("_ts"), F.col("_feed_ts")).alias("ts"),
+        F.col("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("rollup").alias("role"),
+        F.when(gone, F.lit(None).cast("string")).otherwise(stats_json).alias(
+            "text"
+        ),
+        F.lit(None).cast("string").alias("tool"),
+    )
+
+
+def expected_rollup(bronze: SnapshotTable) -> DataFrame:
+    """The batch-recompute definition of the gold view (test oracle):
+    what the incrementally-maintained table must equal at quiescence."""
+    live = bronze.read_keys(
+        bronze.read().select("conv_id").distinct()
+    )
+    agg = conversation_rollup(live)
+    return agg.select(
+        "conv_id",
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("rollup").alias("role"),
+        F.to_json(F.struct(*ROLLUP_STATS)).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("_ts").alias("ts"),
+    )
+
+
+def start_rollup_stream(
+    spark: SparkSession,
+    bronze_root: str,
+    gold: SnapshotTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Tail ``bronze_root``'s change feed and maintain ``gold`` as the
+    per-conversation rollup aggregate.  Same hop contract as
+    :func:`start_derived_stream`: each micro-batch is exactly-once
+    (source offsets in the checkpoint, sink dedup via the applied-batch
+    ledger), so bronze → silver → gold chains compose without a
+    distributed transaction."""
+    from ..sources.table_changes import register
+
+    register(spark)
+    bronze = SnapshotTable(spark, bronze_root)
+    feed = (
+        spark.readStream.format("table_changes")
+        .option("path", bronze_root)
+        .load()
+    )
+
+    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
+        gold.merge_apply(rollup_events(batch_df, bronze), batch_id)
+
+    writer = (
+        feed.writeStream.foreachBatch(apply_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_derived_stream(
     spark: SparkSession,
     bronze_root: str,

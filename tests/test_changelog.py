@@ -152,3 +152,72 @@ def test_changelog_values_match_pure_sql(spark, tmp_path):
         .collect()
     ]
     assert actual == [tuple(r) for r in expected]
+
+
+def _lww_full(rows):
+    """key -> full winner row (payload included)."""
+    state = {}
+    for r in rows:
+        k = (r["conv_id"], r["turn_idx"])
+        if k not in state or r["lsn"] > state[k]["lsn"]:
+            state[k] = r
+    return state
+
+
+def _expected_images(from_rows, to_rows):
+    """Delta-CDF-style expected feed: set of
+    (change_type, conv_id, turn_idx, role, text, tool, ts, lsn)."""
+    s_from = _lww_full(from_rows)
+    s_to = _lww_full(to_rows)
+    out = set()
+
+    def row(ct, r, lsn):
+        out.add((ct, r["conv_id"], r["turn_idx"], r["role"], r["text"],
+                 r["tool"], r["ts"], lsn))
+
+    for k, new in s_to.items():
+        old = s_from.get(k)
+        if old is not None and new["lsn"] <= old["lsn"]:
+            continue
+        live_before = old is not None and old["op"] != "D"
+        if new["op"] == "D":
+            if live_before:
+                row("delete", old, new["lsn"])  # old payload, tombstone lsn
+        elif live_before:
+            row("update_preimage", old, old["lsn"])
+            row("update_postimage", new, new["lsn"])
+        else:
+            row("insert", new, new["lsn"])
+    return out
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_changelog_pre_post_images(spark, tmp_path, mode):
+    log1 = changes(spark, 3000, n_conv=30, turns_per_conv=10, partitions=4)
+    log2 = changes(
+        spark, 1200, n_conv=30, turns_per_conv=10, lsn_start=3000, partitions=4
+    )
+    table = SnapshotTable(spark, str(tmp_path / mode), n_buckets=8, mode=mode)
+    apply_batch(table, log1, "b1")
+    v1 = table.current_version()
+    apply_batch(table, log2, "b2")
+    v2 = table.current_version()
+
+    rows1 = log1.collect()
+    rows2 = rows1 + log2.collect()
+    expected = _expected_images(rows1, rows2)
+    got = {
+        (r["change_type"], r["conv_id"], r["turn_idx"], r["role"], r["text"],
+         r["tool"], r["ts"], r["lsn"])
+        for r in table.changes_between(v1, v2, images=True).collect()
+    }
+    assert got == expected
+    # every update has exactly one pre and one post row
+    pres = {(c, t) for ct, c, t, *_ in got if ct == "update_preimage"}
+    posts = {(c, t) for ct, c, t, *_ in got if ct == "update_postimage"}
+    assert pres == posts and pres
+    # deletes exist in this op mix and carry the OLD (live) payload
+    assert any(ct == "delete" for ct, *_ in got)
+    # the default narrow feed is unchanged by the flag's existence
+    narrow = _collect_changelog(table.changes_between(v1, v2))
+    assert narrow == _expected_changelog(rows1, rows2)
