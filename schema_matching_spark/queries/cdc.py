@@ -252,6 +252,53 @@ def q_cdc_wap(spark, sf_dir):
     )
 
 
+def q_cdc_rollup(spark, sf_dir):
+    """Gold-layer aggregate maintenance (streaming/derived.py rollup
+    hop): bronze snapshot table from the deterministic generator, a
+    per-conversation rollup VIEW maintained incrementally from the
+    change feed by group-recompute (touched buckets only), then a
+    second upstream batch and a second catch-up.  Returns an aggregate
+    over the maintained gold rows.  Rows-only (engine-internal
+    generator + tables); exact value evidence:
+    tests/test_gold_rollup.py pins gold == expected_rollup(bronze)
+    across initial sync, increments, deletes, and resume."""
+    import os
+
+    from ..operators.apply import apply_batch
+    from ..plans.table import SnapshotTable
+    from ..sources.generator import changes
+    from ..streaming.derived import ROLLUP_STATS, rollup_events
+
+    root = tempfile.mkdtemp(prefix="q_rollup_")
+    bronze = SnapshotTable(spark, os.path.join(root, "b"), n_buckets=8)
+    gold = SnapshotTable(spark, os.path.join(root, "g"), n_buckets=4)
+    v = 0
+    for i, (n, lsn0) in enumerate([(4000, 0), (1500, 4000)]):
+        apply_batch(
+            bronze,
+            changes(
+                spark, n, n_conv=40, turns_per_conv=12, lsn_start=lsn0,
+                partitions=4,
+            ),
+            f"b{i}",
+        )
+        feed = bronze.changes_between(v)
+        v = bronze.current_version()
+        gold.merge_apply(rollup_events(feed, bronze), f"g{i}")
+    stats_schema = ", ".join(f"{s} long" for s in ROLLUP_STATS)
+    parsed = gold.read().select(
+        "conv_id", F.from_json("text", stats_schema).alias("s")
+    )
+    return parsed.groupBy().agg(
+        F.count("*").alias("n_convs"),
+        F.sum("s.n_turns").alias("total_turns"),
+        F.sum("s.n_user").alias("total_user"),
+        F.sum("s.n_assistant").alias("total_assistant"),
+        F.sum("s.n_tool").alias("total_tool"),
+        F.sum("s.total_chars").alias("total_chars"),
+    )
+
+
 QUERIES = {
     "latest_wins": q_latest_wins,
     "salted_latest_wins": q_salted_latest_wins,
@@ -259,6 +306,7 @@ QUERIES = {
     "cdc_replay_state": q_cdc_replay_state,
     "cdc_changelog": q_cdc_changelog,
     "cdc_wap": q_cdc_wap,
+    "cdc_rollup": q_cdc_rollup,
     "stateful_progress": q_stateful_progress,
 }
 

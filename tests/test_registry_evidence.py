@@ -30,6 +30,7 @@ ROWS_ONLY_WITH_LOCAL_TEST = {
     "cdc_replay_state": "tests/test_rows_only_oracles.py::test_cdc_replay_state_values_match_pure_sql",
     "cdc_changelog": "tests/test_changelog.py (python LWW diff + DuckDB mirror)",
     "cdc_wap": "tests/test_refs.py (branch isolation, publish, GC, streaming WAP)",
+    "cdc_rollup": "tests/test_gold_rollup.py (gold == expected_rollup across sync/increment/delete/resume)",
     "table_changes_source": "tests/test_table_changes_source.py (parity with changes_between + resume)",
     "stateful_progress": "tests/test_rows_only_oracles.py::test_stateful_progress_values_match_pure_sql",
     "minhash_lsh_dedup": "tests/test_dataprep.py (planted near-dup recall)",
