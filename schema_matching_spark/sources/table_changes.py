@@ -112,8 +112,32 @@ def _tie_hash(row) -> int:
     return int.from_bytes(h.digest()[:8], "big")
 
 
-def _read_diff(partition: _BucketDiff):
-    """Executor-side per-bucket diff: pyarrow scan + pandas LWW."""
+def _lww_winners(df):
+    """LWW winner per key: max lsn, deterministic payload-hash
+    tie-break (ties only exist under duplicate-lsn redelivery, so hash
+    only those rows)."""
+    import pandas as pd
+
+    dup = df.duplicated(["conv_id", "turn_idx", "lsn"], keep=False)
+    tie = pd.Series(0, index=df.index, dtype="uint64")
+    if dup.any():
+        tie[dup] = df[dup].apply(_tie_hash, axis=1).astype("uint64")
+    return (
+        df.assign(_tie=tie)
+        .sort_values(["lsn", "_tie"], kind="mergesort")
+        .drop_duplicates(["conv_id", "turn_idx"], keep="last")
+        .drop(columns="_tie")
+    )
+
+
+def _read_diff(partition: _BucketDiff, images: bool = False):
+    """Executor-side per-bucket diff: pyarrow scan + pandas LWW.
+
+    ``images=True`` emits Delta-CDF row images (mirroring
+    ``SnapshotTable.changes_between(images=True)``): updates become
+    ``update_preimage``/``update_postimage`` pairs and deletes carry the
+    DELETED row's payload — which costs a second, WIDE read of the
+    bucket's from-side files (the default path reads them narrow)."""
     import pandas as pd
     import pyarrow.parquet as pq
 
@@ -121,19 +145,7 @@ def _read_diff(partition: _BucketDiff):
         [pq.read_table(p).to_pandas() for p in partition.new_paths],
         ignore_index=True,
     )
-    # LWW winner per key among the new rows: max lsn, deterministic
-    # payload-hash tie-break (ties only exist under duplicate-lsn
-    # redelivery, so hash only those rows)
-    dup = new.duplicated(["conv_id", "turn_idx", "lsn"], keep=False)
-    tie = pd.Series(0, index=new.index, dtype="uint64")
-    if dup.any():
-        tie[dup] = new[dup].apply(_tie_hash, axis=1).astype("uint64")
-    cand = (
-        new.assign(_tie=tie)
-        .sort_values(["lsn", "_tie"], kind="mergesort")
-        .drop_duplicates(["conv_id", "turn_idx"], keep="last")
-        .drop(columns="_tie")
-    )
+    cand = _lww_winners(new)
 
     if partition.from_paths:
         frm = pd.concat(
@@ -166,6 +178,35 @@ def _read_diff(partition: _BucketDiff):
     out["change_type"] = "insert"
     out.loc[live_before & ~is_del, "change_type"] = "update"
     out.loc[is_del, "change_type"] = "delete"
+    cols = ["change_type", "conv_id", "turn_idx", "role", "text", "tool",
+            "ts", "lsn"]
+    if images:
+        need_pre = out[out["change_type"].isin(["update", "delete"])]
+        frames = [
+            out[out["change_type"] != "delete"]
+            .assign(change_type=lambda d: d["change_type"].map(
+                {"insert": "insert", "update": "update_postimage"}))[cols]
+        ]
+        if not need_pre.empty:
+            old = _lww_winners(pd.concat(
+                [pq.read_table(p).to_pandas() for p in partition.from_paths],
+                ignore_index=True,
+            )).merge(
+                need_pre[["conv_id", "turn_idx", "change_type"]].rename(
+                    columns={"change_type": "_ct"}
+                ).assign(_chg_lsn=need_pre["lsn"].values),
+                on=["conv_id", "turn_idx"],
+            )
+            old["change_type"] = old["_ct"].map(
+                {"update": "update_preimage", "delete": "delete"}
+            )
+            # delete rows carry the OLD payload with the tombstone's lsn
+            # (the progression marker); preimages keep the old lsn
+            old.loc[old["_ct"] == "delete", "lsn"] = old.loc[
+                old["_ct"] == "delete", "_chg_lsn"
+            ]
+            frames.append(old[cols])
+        out = pd.concat(frames, ignore_index=True)
     for r in out.itertuples(index=False):
         ts = None if pd.isna(r.ts) else r.ts.to_pydatetime()
         yield (
@@ -187,12 +228,13 @@ class _BatchReader(DataSourceReader):
         self.v_from = int(options.get("from_version", 0))
         v_to = options.get("to_version")
         self.v_to = int(v_to) if v_to is not None else _current_version(self.root)
+        self.images = str(options.get("images", "false")).lower() == "true"
 
     def partitions(self):
         return _plan_partitions(self.root, self.v_from, self.v_to)
 
     def read(self, partition: _BucketDiff):
-        yield from _read_diff(partition)
+        yield from _read_diff(partition, images=self.images)
 
 
 class _StreamReader(DataSourceStreamReader):
@@ -203,6 +245,7 @@ class _StreamReader(DataSourceStreamReader):
         self.root = options.get("path")
         assert self.root, "table_changes requires .option('path', table_root)"
         self.start = int(options.get("start_version", 0))
+        self.images = str(options.get("images", "false")).lower() == "true"
 
     def initialOffset(self):
         return {"version": self.start}
@@ -214,7 +257,7 @@ class _StreamReader(DataSourceStreamReader):
         return _plan_partitions(self.root, start["version"], end["version"])
 
     def read(self, partition: _BucketDiff):
-        yield from _read_diff(partition)
+        yield from _read_diff(partition, images=self.images)
 
     def commit(self, end):
         pass  # replayable from any retained snapshot: nothing to ack

@@ -128,6 +128,87 @@ def rollup_events(feed: DataFrame, bronze: SnapshotTable) -> DataFrame:
     )
 
 
+def rollup_retract_events(image_feed: DataFrame, gold: SnapshotTable) -> DataFrame:
+    """Map one pre/post-image micro-batch (``table_changes`` with
+    ``images=true``, or ``changes_between(images=True)``) to the change
+    events maintaining the per-conversation rollup SUBTRACTIVELY —
+    no upstream read at all.
+
+    Every stat in ``ROLLUP_STATS`` is additive, so the update is pure
+    increment arithmetic: +contribution for ``insert``/
+    ``update_postimage`` rows, −contribution for ``update_preimage``/
+    ``delete`` rows, folded into the CURRENT gold values (read
+    bucket-pruned from gold itself — one row per touched conversation,
+    far narrower than recomputing from bronze).  A conversation whose
+    turn count reaches zero becomes a tombstone.
+
+    Versus the group-recompute path (:func:`rollup_events`): per batch
+    this reads O(touched GOLD rows) instead of O(touched BRONZE
+    buckets) — the scale choice when conversations are long — at the
+    price of requiring the image feed and giving up non-retractable
+    stats: ``ts`` degrades from exact max to a high-watermark (a
+    delete can't lower it).  Rows are stamped ``lsn = gold's next
+    version``: each successful apply bumps the version, so stamps are
+    strictly monotonic per hop and the applied-batch ledger keeps
+    replays exactly-once (a replayed span is a no-op BEFORE any
+    arithmetic re-runs, so increments can't double-apply).
+    """
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    deltas = image_feed.groupBy("conv_id").agg(
+        F.sum(sign).alias("d_turns"),
+        F.sum(sign * (F.col("role") == "user").cast("long")).alias("d_user"),
+        F.sum(sign * (F.col("role") == "assistant").cast("long")).alias(
+            "d_assistant"
+        ),
+        F.sum(sign * (F.col("role") == "tool").cast("long")).alias("d_tool"),
+        F.sum(sign * F.coalesce(F.length("text"), F.lit(0)).cast("long")).alias(
+            "d_chars"
+        ),
+        F.max("ts").alias("_feed_ts"),
+    )
+    stats_schema = ", ".join(f"{s} long" for s in ROLLUP_STATS)
+    cur = gold.read_keys(deltas.select("conv_id")).select(
+        "conv_id",
+        F.from_json("text", stats_schema).alias("_s"),
+        F.col("ts").alias("_cur_ts"),
+    )
+    j = deltas.join(cur, "conv_id", "left")
+
+    def nxt(cur_field, d_col):
+        return (F.coalesce(F.col(f"_s.{cur_field}"), F.lit(0)) + F.col(d_col))
+
+    new_stats = [
+        nxt("n_turns", "d_turns").alias("n_turns"),
+        nxt("n_user", "d_user").alias("n_user"),
+        nxt("n_assistant", "d_assistant").alias("n_assistant"),
+        nxt("n_tool", "d_tool").alias("n_tool"),
+        nxt("total_chars", "d_chars").alias("total_chars"),
+    ]
+    rows = j.select(
+        "conv_id",
+        F.greatest(
+            F.coalesce(F.col("_cur_ts"), F.col("_feed_ts")), F.col("_feed_ts")
+        ).alias("ts"),
+        *new_stats,
+    )
+    gone = F.col("n_turns") <= 0
+    v_next = gold.current_version() + 1
+    return rows.select(
+        F.lit(v_next).cast("long").alias("lsn"),
+        F.when(gone, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "ts",
+        "conv_id",
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("rollup").alias("role"),
+        F.when(gone, F.lit(None).cast("string"))
+        .otherwise(F.to_json(F.struct(*ROLLUP_STATS)))
+        .alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+    )
+
+
 def expected_rollup(bronze: SnapshotTable) -> DataFrame:
     """The batch-recompute definition of the gold view (test oracle):
     what the incrementally-maintained table must equal at quiescence."""
@@ -151,25 +232,38 @@ def start_rollup_stream(
     gold: SnapshotTable,
     checkpoint_dir: str,
     available_now: bool = True,
+    strategy: str = "recompute",
 ) -> StreamingQuery:
     """Tail ``bronze_root``'s change feed and maintain ``gold`` as the
     per-conversation rollup aggregate.  Same hop contract as
     :func:`start_derived_stream`: each micro-batch is exactly-once
     (source offsets in the checkpoint, sink dedup via the applied-batch
     ledger), so bronze → silver → gold chains compose without a
-    distributed transaction."""
+    distributed transaction.
+
+    ``strategy``: ``"recompute"`` (default) re-derives each touched
+    conversation from bronze (:func:`rollup_events`); ``"retract"``
+    consumes the pre/post-image feed and increments gold in place
+    (:func:`rollup_retract_events`) — no bronze read, ``ts`` becomes a
+    high-watermark."""
+    if strategy not in ("recompute", "retract"):
+        raise ValueError(f"unknown rollup strategy {strategy!r}")
     from ..sources.table_changes import register
 
     register(spark)
     bronze = SnapshotTable(spark, bronze_root)
-    feed = (
-        spark.readStream.format("table_changes")
-        .option("path", bronze_root)
-        .load()
+    reader = (
+        spark.readStream.format("table_changes").option("path", bronze_root)
     )
+    if strategy == "retract":
+        reader = reader.option("images", "true")
+    feed = reader.load()
 
     def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
-        gold.merge_apply(rollup_events(batch_df, bronze), batch_id)
+        if strategy == "retract":
+            gold.merge_apply(rollup_retract_events(batch_df, gold), batch_id)
+        else:
+            gold.merge_apply(rollup_events(batch_df, bronze), batch_id)
 
     writer = (
         feed.writeStream.foreachBatch(apply_fn)

@@ -142,3 +142,63 @@ def test_read_keys_matches_filtered_read(spark, tmp_path):
         assert "lsn" in got.columns
         want = t.read().where(F.col("conv_id").isin(want_keys))
         assert _rows(got.drop("lsn")) == _rows(want)
+
+
+def _stats_rows(df):
+    """(conv_id, parsed stats) — the retract strategy's exactness
+    surface (ts is a high-watermark there, not an exact max)."""
+    return sorted(
+        (r["conv_id"], tuple(sorted(json.loads(r["text"]).items())))
+        for r in df.collect()
+    )
+
+
+def test_rollup_retract_strategy_exact_stats(spark, tmp_path):
+    bronze = SnapshotTable(spark, str(tmp_path / "bronze"), n_buckets=8)
+    gold = SnapshotTable(spark, str(tmp_path / "gold"), n_buckets=4)
+    cp = str(tmp_path / "cp")
+
+    def catch_up():
+        q = start_rollup_stream(
+            spark, bronze.root, gold, cp, strategy="retract"
+        )
+        q.awaitTermination(120)
+        assert _stats_rows(gold.read()) == _stats_rows(expected_rollup(bronze))
+
+    apply_batch(
+        bronze, changes(spark, 3000, n_conv=25, turns_per_conv=10, partitions=4),
+        "b1",
+    )
+    catch_up()
+    assert gold.read().count() > 0
+
+    # increments with updates + deletes, applied across TWO upstream
+    # commits then one catch-up (multi-span batch), then another round
+    for i, lsn0 in enumerate([3000, 4500]):
+        apply_batch(
+            bronze,
+            changes(spark, 1200, n_conv=25, turns_per_conv=10,
+                    lsn_start=lsn0, partitions=4),
+            f"inc{i}",
+        )
+    catch_up()
+
+    # full-conversation delete: subtractive path must tombstone the row
+    victim = "conv-00000006"
+    dels = (
+        bronze.read()
+        .where(F.col("conv_id") == victim)
+        .select(
+            (F.lit(20_000_000) + F.col("turn_idx").cast("long")).alias("lsn"),
+            F.lit("D").alias("op"),
+            "ts", "conv_id", "turn_idx", "role", "text", "tool",
+        )
+    )
+    apply_batch(bronze, dels, "kill")
+    catch_up()
+    assert gold.lookup(victim).count() == 0
+
+    # no-op catch-up after quiescence: increments must not re-apply
+    before = _stats_rows(gold.read())
+    catch_up()
+    assert _stats_rows(gold.read()) == before

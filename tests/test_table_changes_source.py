@@ -128,3 +128,28 @@ def test_stream_spans_rebucket_boundary(registered, tmp_path):
     assert _feed_dict(src.collect()) == _feed_dict(
         table.changes_between(vs[1]).collect()
     )
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_batch_images_match_changes_between_images(registered, tmp_path, mode):
+    """images=true parity: full-row (payload-level) equality with
+    changes_between(images=True) — unique-lsn logs, so even the
+    tie-break paths agree."""
+    spark = registered
+    table, vs = _build(
+        spark, str(tmp_path / f"img_{mode}"), [3000, 1200], mode=mode
+    )
+    src = (
+        spark.read.format("table_changes")
+        .option("path", table.root)
+        .option("from_version", vs[1])
+        .option("images", "true")
+        .load()
+    )
+    key = lambda r: (r["change_type"], r["conv_id"], r["turn_idx"], r["role"],
+                     r["text"], r["tool"], r["ts"], r["lsn"])
+    expected = sorted(map(key, table.changes_between(vs[1], images=True).collect()))
+    actual = sorted(map(key, src.collect()))
+    assert actual == expected
+    types = {r[0] for r in actual}
+    assert {"update_preimage", "update_postimage", "delete"} <= types
