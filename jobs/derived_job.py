@@ -52,10 +52,13 @@ def main() -> None:
     )
     v0 = silver.current_version()
     t0 = time.time()
-    q = start_derived_stream(
-        spark, args.bronze, silver, args.checkpoint, predicate=predicate
+    from schema_matching_spark.streaming.pipeline import drain_catchup
+
+    drain_catchup(
+        lambda: start_derived_stream(
+            spark, args.bronze, silver, args.checkpoint, predicate=predicate
+        )
     )
-    q.awaitTermination()
     print(
         json.dumps(
             {

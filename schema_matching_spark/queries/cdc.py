@@ -299,6 +299,63 @@ def q_cdc_rollup(spark, sf_dir):
     )
 
 
+def q_scd2_history(spark, sf_dir):
+    """B-series SCD Type-2 maintenance: collapse the per-key change
+    stream into slowly-changing-dimension version rows.  Tracked
+    attribute is `event_type` per `user_id`; consecutive events with
+    the same type belong to one version, a type flip opens a new one.
+    Each version row carries [valid_from_lsn, valid_to_lsn] (null open
+    end) and an is_current flag — the standard warehouse shape a CDC
+    feed is landed into when history must be queryable.
+
+    Scale posture: ONE shuffle on user_id; both windows (lag for
+    change detection, lead for interval close) share the same
+    partitioning+ordering so Catalyst reuses a single sort — no
+    second exchange.  Columns stay narrow (key + enum + two longs);
+    payloads would travel via join-back, never through the windows.
+    """
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    starts = e.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    versioned = starts.withColumn(
+        "valid_to_lsn", F.lead("event_id").over(w) - F.lit(1)
+    )
+    return versioned.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("valid_from_lsn"),
+        "valid_to_lsn",
+        F.col("valid_to_lsn").isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from_lsn")
+
+
+SQL_SCD2_HISTORY = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+             AS prev_type
+  FROM events
+), starts AS (
+  SELECT user_id, event_id, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+), versioned AS (
+  SELECT user_id, event_type, event_id AS valid_from_lsn,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) - 1
+             AS valid_to_lsn
+  FROM starts
+)
+SELECT user_id, event_type, valid_from_lsn, valid_to_lsn,
+       valid_to_lsn IS NULL AS is_current
+FROM versioned
+ORDER BY user_id, valid_from_lsn
+"""
+
+
 QUERIES = {
     "latest_wins": q_latest_wins,
     "salted_latest_wins": q_salted_latest_wins,
@@ -307,6 +364,7 @@ QUERIES = {
     "cdc_changelog": q_cdc_changelog,
     "cdc_wap": q_cdc_wap,
     "cdc_rollup": q_cdc_rollup,
+    "scd2_history": q_scd2_history,
     "stateful_progress": q_stateful_progress,
 }
 
@@ -314,5 +372,6 @@ ORACLE = {
     "latest_wins": SQL_LATEST_WINS,
     "salted_latest_wins": SQL_LATEST_WINS,
     "delivery_dedup": SQL_DELIVERY_DEDUP,
+    "scd2_history": SQL_SCD2_HISTORY,
     # cdc_replay_state: rows-only (engine-internal generator + table)
 }

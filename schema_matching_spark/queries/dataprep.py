@@ -623,6 +623,165 @@ ORDER BY lang
 """
 
 
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style intra-document repetition screen: per-doc counts of
+    duplicate words and the heaviest word/bigram runs, flagging docs
+    whose top token or top bigram covers >= 10% of the document —
+    the standard "repetitive generation / boilerplate" quality gate in
+    LLM corpus curation.
+
+    Scale posture: ZERO shuffle for the per-doc stats — every number
+    is computed map-side with array higher-order functions (sorted-run
+    fold via `aggregate` for the modal counts), so a 100 TB corpus
+    never exchanges text; the only exchange is the final tiny
+    per-document stat rows' pass-through.  All outputs are exact
+    integers (counts, not ratios) per the oracle-dtype rule.
+    """
+    d = _docs(spark, sf_dir)
+    words = F.split(F.trim("text"), r"\s+")
+    # max run length over a sorted array == modal element count; one
+    # fold, struct state (prev, run, best) — no explode, no shuffle.
+    modal = (
+        "aggregate(array_sort({arr}),"
+        " named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),"
+        " (s, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(s.prev <=> x, s.run + 1L, 1L),"
+        "   'best', greatest(s.best, IF(s.prev <=> x, s.run + 1L, 1L))),"
+        " s -> s.best)"
+    )
+    stats = d.select(
+        "doc_id",
+        words.alias("w"),
+    ).select(
+        "doc_id",
+        F.size("w").cast("long").alias("total_words"),
+        F.size(F.array_distinct("w")).cast("long").alias("distinct_words"),
+        F.expr(modal.format(arr="w")).alias("top_word_count"),
+        F.expr(
+            "IF(size(w) < 2, array(),"
+            " transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])))"
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "total_words",
+        "distinct_words",
+        "top_word_count",
+        F.size("bg").cast("long").alias("n_bigrams"),
+        F.expr(modal.format(arr="bg")).alias("top_bigram_count"),
+    )
+    return stats.withColumn(
+        "flagged",
+        (F.col("top_word_count") * 10 >= F.col("total_words"))
+        | (F.col("top_bigram_count") * 10 >= F.col("n_bigrams")),
+    ).orderBy("doc_id")
+
+
+SQL_REPETITION_FILTER = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), wc AS (  -- per-(doc, word) counts
+  SELECT doc_id, unnest(w) AS word FROM toks
+), wstat AS (
+  SELECT doc_id, sum(cnt) AS total_words,
+         count(*) AS distinct_words,
+         max(cnt) AS top_word_count
+  FROM (SELECT doc_id, word, count(*) AS cnt FROM wc GROUP BY 1, 2)
+  GROUP BY doc_id
+), pos AS (
+  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i
+  FROM toks
+), bg AS (
+  SELECT a.doc_id, a.word || ' ' || b.word AS bigram
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), bstat AS (
+  SELECT doc_id, sum(cnt) AS n_bigrams, max(cnt) AS top_bigram_count
+  FROM (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(w.total_words AS BIGINT) AS total_words,
+       CAST(w.distinct_words AS BIGINT) AS distinct_words,
+       CAST(w.top_word_count AS BIGINT) AS top_word_count,
+       CAST(b.n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(b.top_bigram_count AS BIGINT) AS top_bigram_count,
+       (w.top_word_count * 10 >= w.total_words
+        OR b.top_bigram_count * 10 >= b.n_bigrams) AS flagged
+FROM wstat w JOIN bstat b USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_distinctive_terms(spark, sf_dir):
+    """Per-language distinctive vocabulary: for every language, the
+    top-5 terms ranked by how exclusively their document frequency
+    concentrates in that language (an exact-integer IDF surrogate:
+    score = df_lang * 1e6 DIV df_corpus, so ordering is reproducible
+    across engines with no floating-point log).  The per-corpus term
+    statistics double as the vocabulary-building pass of a tokenizer
+    pipeline.
+
+    Scale posture: distinct (doc, term) pairs via map-side
+    array_distinct BEFORE exploding (explode output is bounded by
+    distinct terms per doc, not tokens); two narrow hash aggregates on
+    (lang, term)/(term); the per-lang top-k window partitions on lang
+    — never a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    pairs = d.select(
+        "lang",
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("term"),
+    )
+    df_lang = pairs.groupBy("lang", "term").agg(
+        F.count("*").alias("df_lang")
+    )
+    df_all = pairs.groupBy("term").agg(F.count("*").alias("df_corpus"))
+    scored = df_lang.join(df_all, "term").withColumn(
+        "score", F.expr("df_lang * 1000000L div df_corpus")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("df_lang").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select("lang", "rk", "term", "df_lang", "df_corpus", "score")
+        .orderBy("lang", "rk")
+    )
+
+
+SQL_DISTINCTIVE_TERMS = """
+WITH pairs AS (
+  SELECT DISTINCT lang, doc_id, term FROM (
+    SELECT lang, doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents)
+), df_lang AS (
+  SELECT lang, term, count(*) AS df_lang FROM pairs GROUP BY 1, 2
+), df_all AS (
+  SELECT term, count(*) AS df_corpus FROM pairs GROUP BY 1
+), scored AS (
+  SELECT l.lang, l.term,
+         CAST(l.df_lang AS BIGINT) AS df_lang,
+         CAST(a.df_corpus AS BIGINT) AS df_corpus,
+         CAST(l.df_lang AS BIGINT) * 1000000 // CAST(a.df_corpus AS BIGINT)
+             AS score
+  FROM df_lang l JOIN df_all a USING (term)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+      ORDER BY score DESC, df_lang DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT lang, CAST(rk AS BIGINT) AS rk, term, df_lang, df_corpus, score
+FROM ranked WHERE rk <= 5
+ORDER BY lang, rk
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "corpus_curation": q_corpus_curation,
@@ -636,6 +795,8 @@ QUERIES = {
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash_dedup": q_simhash_dedup,
     "lang_id": q_lang_id,
+    "repetition_filter": q_repetition_filter,
+    "distinctive_terms": q_distinctive_terms,
 }
 
 ORACLE = {
@@ -648,6 +809,8 @@ ORACLE = {
     "fingerprints": SQL_FINGERPRINTS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "lang_id": SQL_LANG_ID,
+    "repetition_filter": SQL_REPETITION_FILTER,
+    "distinctive_terms": SQL_DISTINCTIVE_TERMS,
     # minhash_lsh_dedup / simhash_dedup: xxhash64-based (not in the
     # oracle dialect) — rows-only; recall asserted in tests.
 }

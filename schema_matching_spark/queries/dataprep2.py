@@ -251,14 +251,158 @@ ORDER BY tr.source
 """
 
 
+#: sliding-window chunking: CHUNK_TOKENS-sized windows every
+#: CHUNK_STRIDE tokens (overlap = CHUNK_TOKENS - CHUNK_STRIDE).  Sized
+#: so sf0.01's ~50-token documents produce multiple overlapping chunks.
+CHUNK_TOKENS = 16
+CHUNK_STRIDE = 12
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking with overlap: split every document into
+    CHUNK_TOKENS-word windows advancing CHUNK_STRIDE words at a time
+    (the RAG / long-context preprocessing step).  The oracle checks the
+    TRANSFORM, not just counts: each chunk's md5 must match DuckDB's
+    md5 of the identically sliced text.
+
+    Scale posture: zero shuffle — chunk enumeration is a map-side
+    `sequence` + posexplode and the window slice is an array `slice`;
+    output order is (doc_id, chunk_idx), produced by the final sort
+    only.  Chunk count math is all-integer (ceil via positive floor
+    div), so every engine enumerates identical windows.
+    """
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    d = _docs(spark, sf_dir)
+    prepared = d.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    ).withColumn(
+        "last_idx",
+        F.expr(
+            f"IF(size(w) <= {c}, 0L, ((size(w) - {c} - 1) div {s}) + 1L)"
+        ),
+    )
+    chunks = (
+        prepared.select(
+            "doc_id",
+            "w",
+            F.explode(F.expr("sequence(0L, last_idx)")).alias("chunk_idx"),
+        )
+        .withColumn("cw", F.expr(f"slice(w, chunk_idx * {s} + 1, {c})"))
+        .select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "cw")
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("cw").cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join("cw", " ")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+SQL_DOC_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), bounds AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= {CHUNK_TOKENS} THEN 0
+              ELSE (len(w) - {CHUNK_TOKENS} - 1) // {CHUNK_STRIDE} + 1
+         END AS last_idx
+  FROM toks
+), chunks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         w[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}] AS cw
+  FROM (SELECT doc_id, w, unnest(range(0, last_idx + 1)) AS i FROM bounds)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(cw) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(cw, ' ')) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
+#: epoch-shuffle parameters: shards per epoch, epochs materialized.
+SHUFFLE_SHARDS = 8
+SHUFFLE_EPOCHS = 2
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic training-epoch shuffle: every epoch assigns each
+    document a pseudo-random shard and an intra-shard position from
+    md5(epoch || ':' || doc_id) — a pure function of (epoch, doc), so
+    any engine/cluster-size/restart reproduces byte-identical epoch
+    order (the reproducibility contract data-loading audits require),
+    and successive epochs are independent permutations.
+
+    Scale posture: the ONLY exchange is the shard hash-partition and
+    the per-(epoch, shard) row_number sorts shard-local slices — a
+    global permutation without any global sort.  At 100 TB each shard
+    is a writer task's worth of data; text never moves, only
+    (doc_id, 16-byte key).
+    """
+    d = _docs(spark, sf_dir).select("doc_id")
+    epochs = d.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(SHUFFLE_EPOCHS)])
+        ).alias("epoch"),
+    )
+    keyed = epochs.select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.col("epoch").cast("string"),
+                        F.col("doc_id").cast("string"))
+        ).alias("skey"),
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("skey", 1, 6), 16, 10).cast("long")
+         % SHUFFLE_SHARDS),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("skey")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("epoch", "shard", "pos", "doc_id")
+        .orderBy("epoch", "shard", "pos")
+    )
+
+
+SQL_EPOCH_SHUFFLE = f"""
+WITH epochs AS (
+  SELECT doc_id, e.epoch
+  FROM documents, (SELECT unnest(range({SHUFFLE_EPOCHS})) AS epoch) e
+), keyed AS (
+  SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+         md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+             AS skey
+  FROM epochs
+), sharded AS (
+  SELECT epoch, doc_id, skey,
+         CAST('0x' || substr(skey, 1, 6) AS BIGINT) % {SHUFFLE_SHARDS}
+             AS shard
+  FROM keyed
+)
+SELECT epoch, shard,
+       CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY skey)
+            AS BIGINT) AS pos,
+       doc_id
+FROM sharded
+ORDER BY epoch, shard, pos
+"""
+
+
 QUERIES = {
     "sequence_pack": q_sequence_pack,
     "stratified_sample": q_stratified_sample,
     "contamination_check": q_contamination_check,
+    "doc_chunks": q_doc_chunks,
+    "epoch_shuffle": q_epoch_shuffle,
 }
 
 ORACLE = {
     "sequence_pack": SQL_SEQUENCE_PACK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "contamination_check": SQL_CONTAMINATION_CHECK,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "epoch_shuffle": SQL_EPOCH_SHUFFLE,
 }

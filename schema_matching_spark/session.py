@@ -78,6 +78,14 @@ def get_spark(
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Python DataSource planning spawns a simple (non-daemon) worker
+        # on the driver.  Its accept window is JVM-hardcoded at 10 s
+        # (PythonWorkerFactory.createSimpleWorker) — which a saturated
+        # box can exceed — so spawn failures are handled by restart
+        # (streaming/pipeline.py drain_catchup); this only widens the
+        # auth-handshake timeout once the worker HAS connected, cheap
+        # insurance against the same stall hitting the handshake.
+        .config("spark.python.authenticate.socketTimeout", "120s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -112,6 +112,73 @@ def start_cdc_stream(
     return writer.start()
 
 
+#: Error signatures of driver-side Python-worker spawn failures.  The
+#: planner worker for a Python DataSource stream must connect back
+#: within a JVM-hardcoded 10 s (PythonWorkerFactory.createSimpleWorker);
+#: on a saturated box the fork+import occasionally exceeds it.  The
+#: failure happens BEFORE any offset is committed, and every sink in
+#: this engine is exactly-once (checkpoint offsets + applied-batch
+#: ledger), so restarting the query is always safe.
+TRANSIENT_WORKER_ERRORS = (
+    "Python worker failed to connect back",
+    "Timed out while waiting for the Python worker to connect back",
+    "Python worker exited unexpectedly",
+)
+
+
+def is_transient_worker_error(exc: BaseException) -> bool:
+    msg = str(exc)
+    return any(sig in msg for sig in TRANSIENT_WORKER_ERRORS)
+
+
+def drain_catchup(
+    start_fn,
+    attempts: int = 4,
+    timeout: int | None = None,
+    backoff_sec: int = 5,
+):
+    """Run a bounded (availableNow) catch-up stream to completion,
+    restarting it on transient driver-side worker-spawn failures.
+
+    ``start_fn`` is a zero-arg callable returning a started
+    StreamingQuery; it is re-invoked on retry so each attempt is a
+    fresh query against the same checkpoint — exactly-once semantics
+    make the restart invisible (committed batches are skipped by the
+    offset log, half-applied ones are deduped by the sink ledger).
+    This is the same restart a cluster scheduler performs when a
+    driver-side planner worker is lost mid-job.  Retries back off
+    linearly: the spawn failure's usual cause is a transient stall
+    (page-cache reclaim, GC storm), which needs seconds to clear, not
+    an immediate re-fork.
+
+    ``timeout`` (seconds) bounds a HUNG query, not a slow one: while
+    the query is alive and merely slow (a cold box demand-pages every
+    cache-dropped byte), the wait is extended up to 3x before giving
+    up — returning early and asserting on a half-drained sink would
+    turn slowness into a false failure.
+    """
+    import time as _time
+
+    q = None
+    for attempt in range(attempts):
+        try:
+            q = start_fn()
+            if timeout is None:
+                q.awaitTermination()
+            else:
+                deadline = _time.time() + 3 * timeout
+                while not q.awaitTermination(timeout):
+                    if _time.time() >= deadline:
+                        break
+            return q
+        except Exception as e:  # StreamingQueryException or Py4J wrapper
+            if attempt + 1 < attempts and is_transient_worker_error(e):
+                _time.sleep(backoff_sec * (attempt + 1))
+                continue
+            raise
+    return q
+
+
 def run_stream_to_completion(
     spark: SparkSession,
     wal_dir: str,

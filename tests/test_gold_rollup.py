@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from schema_matching_spark.operators.apply import apply_batch
 from schema_matching_spark.plans.table import SnapshotTable
 from schema_matching_spark.sources.generator import changes
+from schema_matching_spark.streaming.pipeline import drain_catchup
 from schema_matching_spark.streaming.derived import (
     expected_rollup,
     start_derived_stream,
@@ -26,8 +27,7 @@ def _rows(df):
 
 
 def _catch_up(spark, bronze_root, gold, cp):
-    q = start_rollup_stream(spark, bronze_root, gold, cp)
-    q.awaitTermination(120)
+    drain_catchup(lambda: start_rollup_stream(spark, bronze_root, gold, cp), timeout=120)
 
 
 def test_rollup_initial_and_incremental(spark, tmp_path):
@@ -116,10 +116,8 @@ def test_three_hop_bronze_silver_gold(spark, tmp_path):
                     lsn_start=3000 * i, partitions=4),
             f"b{i}",
         )
-        q = start_derived_stream(spark, bronze.root, silver, cp_s, predicate=pred)
-        q.awaitTermination(120)
-        q = start_rollup_stream(spark, silver.root, gold, cp_g)
-        q.awaitTermination(120)
+        drain_catchup(lambda: start_derived_stream(spark, bronze.root, silver, cp_s, predicate=pred), timeout=120)
+        drain_catchup(lambda: start_rollup_stream(spark, silver.root, gold, cp_g), timeout=120)
         assert _rows(gold.read()) == _rows(expected_rollup(silver))
     # silver holds no tool turns, so gold's n_tool is 0 everywhere
     stats = [json.loads(r["text"]) for r in gold.read().collect()]
@@ -159,10 +157,9 @@ def test_rollup_retract_strategy_exact_stats(spark, tmp_path):
     cp = str(tmp_path / "cp")
 
     def catch_up():
-        q = start_rollup_stream(
+        drain_catchup(lambda: start_rollup_stream(
             spark, bronze.root, gold, cp, strategy="retract"
-        )
-        q.awaitTermination(120)
+        ), timeout=120)
         assert _stats_rows(gold.read()) == _stats_rows(expected_rollup(bronze))
 
     apply_batch(

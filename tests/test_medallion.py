@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from schema_matching_spark.operators.apply import apply_batch
 from schema_matching_spark.plans.table import SnapshotTable
 from schema_matching_spark.sources.generator import changes
+from schema_matching_spark.streaming.pipeline import drain_catchup
 from schema_matching_spark.streaming.derived import start_derived_stream
 
 def _pred():
@@ -45,10 +46,9 @@ def test_bronze_to_silver_incremental(spark, tmp_path):
         bronze, changes(spark, 3000, n_conv=25, turns_per_conv=10, partitions=4),
         "b1",
     )
-    q = start_derived_stream(
+    drain_catchup(lambda: start_derived_stream(
         spark, bronze.root, silver, cp, predicate=_pred(), transform=_transform
-    )
-    q.awaitTermination(120)
+    ), timeout=120)
     assert _rows(silver.read()) == _rows(_expected(bronze))
     assert silver.read().count() > 0
 
@@ -68,19 +68,17 @@ def test_bronze_to_silver_incremental(spark, tmp_path):
         "b3",
     )
     v_silver = silver.current_version()
-    q = start_derived_stream(
+    drain_catchup(lambda: start_derived_stream(
         spark, bronze.root, silver, cp, predicate=_pred(), transform=_transform
-    )
-    q.awaitTermination(120)
+    ), timeout=120)
     assert silver.current_version() > v_silver
     assert _rows(silver.read()) == _rows(_expected(bronze))
 
     # no new upstream commits -> catch-up run is a no-op on both hops
     v_silver = silver.current_version()
-    q = start_derived_stream(
+    drain_catchup(lambda: start_derived_stream(
         spark, bronze.root, silver, cp, predicate=_pred(), transform=_transform
-    )
-    q.awaitTermination(120)
+    ), timeout=120)
     assert silver.current_version() == v_silver
     assert _rows(silver.read()) == _rows(_expected(bronze))
 
@@ -96,10 +94,9 @@ def test_silver_without_predicate_or_transform(spark, tmp_path):
         bronze, changes(spark, 2000, n_conv=20, turns_per_conv=10, partitions=4),
         "b1",
     )
-    q = start_derived_stream(
+    drain_catchup(lambda: start_derived_stream(
         spark, bronze.root, silver, str(tmp_path / "cp")
-    )
-    q.awaitTermination(120)
+    ), timeout=120)
     assert _rows(silver.read()) == _rows(
         bronze.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     )

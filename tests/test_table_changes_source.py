@@ -75,18 +75,21 @@ def test_stream_drains_and_resumes_across_commits(registered, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     def drain():
-        q = (
-            spark.readStream.format("table_changes")
-            .option("path", root)
-            .load()
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        from schema_matching_spark.streaming.pipeline import drain_catchup
+
+        drain_catchup(
+            lambda: (
+                spark.readStream.format("table_changes")
+                .option("path", root)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
         )
-        q.awaitTermination()
 
     drain()
     first = _feed_dict(spark.read.parquet(out).collect())
