@@ -190,6 +190,47 @@ def _minhash_from_base(based: DataFrame, id_col: str, n_hashes: int) -> DataFram
     )
 
 
+def band_bucket_array(
+    sig_col: str, n_bands: int = 8, rows_per_band: int = 4
+) -> Column:
+    """Array of ``n_bands`` LSH band-bucket hashes from a signature
+    array column — element b is the 64-bit hash of the b-th band's
+    signature slice.  Two docs are near-dup CANDIDATES iff the arrays
+    agree at any position."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(F.col(sig_col), b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def band_bucket_rows(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    n_bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Exploded ``(id, band, bucket)`` rows — the relational form of
+    :func:`band_bucket_array`, the shape LSH joins shuffle on."""
+    buckets = df.select(
+        F.col(id_col),
+        F.posexplode(band_bucket_array(sig_col, n_bands, rows_per_band)).alias(
+            "band", "bucket"
+        ),
+    )
+    return buckets
+
+
 def lsh_band_pairs(
     df: DataFrame,
     id_col: str,
@@ -203,26 +244,7 @@ def lsh_band_pairs(
     the banded bucket, so candidates co-locate and the join is
     band-local; no O(n^2) comparison ever happens.
     """
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at(F.col(sig_col), b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    buckets = df.select(F.col(id_col), F.explode(bands).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    buckets = band_bucket_rows(df, id_col, sig_col, n_bands, rows_per_band)
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
