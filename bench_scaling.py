@@ -592,8 +592,19 @@ sort-falling-back ObjectHashAggregate), shuffled-hash join-back
 (parallel per-partition builds instead of a driver-serialized
 broadcast build), and single wide shuffle per commit (direct
 bucket-partitioned write; no re-repartition of full-width rows).
-{_history_md(history, deb)}""")
+{_history_md(history, deb)}{_appendix()}""")
     print(json.dumps(result))
+
+
+def _appendix() -> str:
+    """BENCH/APPENDIX.md rides along verbatim — hand-written evidence
+    (e.g. the host memory-regime probes) that must survive this
+    file's regeneration."""
+    path = os.path.join(HERE, "BENCH", "APPENDIX.md")
+    if os.path.exists(path):
+        with open(path) as f:
+            return "\n" + f.read()
+    return ""
 
 
 if __name__ == "__main__":

@@ -152,6 +152,67 @@ def near_dup_candidates(index: SnapshotTable, probes: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def confirmed_near_dups(
+    index: SnapshotTable,
+    bronze: SnapshotTable,
+    probes: DataFrame,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Candidates from :func:`near_dup_candidates`, confirmed with
+    exact k-shingle Jaccard — the full probe path a dedup gate runs on
+    arriving documents.  Only candidate pairs pay the exact confirm,
+    and only the candidate index docs' hash buckets are read from
+    bronze (``read_keys`` — never a corpus scan).  Returns candidate
+    pairs with ``jac >= threshold``."""
+    from ..functions.textops import jaccard_pairs, shingle_hash_rows
+
+    cand = near_dup_candidates(index, probes)
+    idx_keys = cand.select(
+        F.col("index_conv_id").alias("conv_id"),
+        F.col("index_turn_idx").alias("turn_idx"),
+    ).distinct()
+    key = F.concat_ws("#", F.col("conv_id"), F.col("turn_idx"))
+    idx_docs = bronze.read_keys(idx_keys).select(
+        key.alias("_id"), "text"
+    )
+    probe_docs = probes.select(key.alias("_id"), "text")
+    # shingle-hash rows for both sides; ids are disjoint namespaces
+    # ("p:" / "i:" prefixes) so a probe that equals an indexed doc
+    # still forms a pair
+    shr = (
+        probe_docs.select(F.concat(F.lit("p:"), F.col("_id")).alias("_id"), "text")
+        .unionByName(
+            idx_docs.select(F.concat(F.lit("i:"), F.col("_id")).alias("_id"), "text")
+        )
+    )
+    shr = shingle_hash_rows(shr, "_id", "text", k=SIG_K)
+    # the (id_a, id_b) pair frame in the prefixed namespace
+    pair_ids = cand.select(
+        F.concat(
+            F.lit("p:"), F.concat_ws("#", "probe_conv_id", "probe_turn_idx")
+        ).alias("id_a"),
+        F.concat(
+            F.lit("i:"), F.concat_ws("#", "index_conv_id", "index_turn_idx")
+        ).alias("id_b"),
+        "probe_conv_id",
+        "probe_turn_idx",
+        "index_conv_id",
+        "index_turn_idx",
+    )
+    jac = jaccard_pairs(shr, pair_ids.select("id_a", "id_b"), id_col="_id")
+    return (
+        pair_ids.join(jac, ["id_a", "id_b"])
+        .where(F.col("jac") >= threshold)
+        .select(
+            "probe_conv_id",
+            "probe_turn_idx",
+            "index_conv_id",
+            "index_turn_idx",
+            "jac",
+        )
+    )
+
+
 def start_dedup_index_stream(
     spark: SparkSession,
     bronze_root: str,

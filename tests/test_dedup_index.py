@@ -16,6 +16,7 @@ from schema_matching_spark.operators.apply import apply_batch
 from schema_matching_spark.plans.table import SnapshotTable
 from schema_matching_spark.sources.generator import changes
 from schema_matching_spark.streaming.dedup_index import (
+    confirmed_near_dups,
     document_band_buckets,
     near_dup_candidates,
     start_dedup_index_stream,
@@ -158,3 +159,14 @@ def test_probe_finds_planted_duplicate(spark, tmp_path):
     n_indexed = index.read().count()
     novel_hits = sum(1 for r in cand if r["probe_turn_idx"] == 2)
     assert novel_hits < n_indexed
+
+    # full gate path: exact-Jaccard confirm on candidates only —
+    # exact copies confirm at jac = 1.0 and survive any threshold
+    confirmed = confirmed_near_dups(index, bronze, probes, threshold=0.9)
+    got = {
+        (r["probe_turn_idx"], r["index_conv_id"], r["index_turn_idx"], r["jac"])
+        for r in confirmed.collect()
+    }
+    assert (0, victims[0]["conv_id"], victims[0]["turn_idx"], 1.0) in got
+    assert (1, victims[1]["conv_id"], victims[1]["turn_idx"], 1.0) in got
+    assert all(r[3] >= 0.9 for r in got)
