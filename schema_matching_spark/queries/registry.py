@@ -22,9 +22,12 @@ from . import (
 # registry entries in dict-insertion order. Round 1+2 proved the tail past
 # position 50 never gets a driver row, so the LLM-data-pipeline packs
 # (dataprep/dataprep2/similarity/multimodal/sources/udfs) lead, followed
-# by the CDC queries and as many relational queries as fit (all
-# driver-green in r1/r2). Every query then has a driver row across
-# rounds 1-3.
+# by the CDC queries; as of late r3 the lead packs total EXACTLY 50
+# (dataprep 14, dataprep2 5, similarity 6, multimodal 6, sources 6,
+# udfs 4, cdc 9), so the driver window covers precisely them.  The
+# relational packs past 50 are all driver-green from r1/r2.  Any NEW
+# query must go in a lead pack only by displacing/justifying a slot;
+# otherwise it ships tail + strict-local evidence.
 _MODULES = [
     dataprep,
     dataprep2,
