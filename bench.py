@@ -362,7 +362,28 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    from schema_matching_spark.functions.hostprobe import (
+        host_probes,
+        prewarm_pages,
+    )
     from schema_matching_spark.session import get_spark
+
+    # Host-health probes BEFORE the JVM starts and again after all
+    # benches: the capture carries its own evidence, so a degraded
+    # BENCH_rN is distinguishable from a code regression without
+    # forensic work (VERDICT r3 item 1).  CPU-healthy + low first-touch
+    # GB/s = hypervisor memory-reclaim regime, not the engine.
+    probes_pre = host_probes()
+    print(f"[host] pre-bench probes: {json.dumps(probes_pre)}",
+          file=sys.stderr, flush=True)
+    prewarm = None
+    if not probes_pre["healthy"] and probes_pre["steal_pct"] < 10.0:
+        # Reclaim regime: force page provisioning OUTSIDE the timed
+        # sections (32-way parallel touch aggregates ~0.84 GB/s where
+        # single-threaded faults crawl at 0.01 — BENCH/APPENDIX.md r4).
+        prewarm = prewarm_pages(gib=12.0)
+        print(f"[host] prewarm: {json.dumps(prewarm)}",
+              file=sys.stderr, flush=True)
 
     cpus = int(args.cpus)
     extra = {}
@@ -431,6 +452,11 @@ def main() -> None:
         "cdc_incremental_mor": inc_mor,
         "scan_pruning": scan_prune,
         "point_lookup": point_lookup,
+        "host_probes": {
+            "pre": probes_pre,
+            "prewarm": prewarm,
+            "post": host_probes(fast=True),
+        },
     }
     print(json.dumps(out))
 

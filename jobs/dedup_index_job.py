@@ -8,7 +8,11 @@ Usage (cluster)::
     spark-submit --py-files dist/schema_matching_spark.zip \\
         jobs/dedup_index_job.py --bronze /path/to/bronze \\
         --index /path/to/index --checkpoint /path/to/cp \\
-        [--n-buckets 1024] [--mode mor]
+        [--n-buckets N] [--mode mor]
+
+``--n-buckets`` defaults to 32 (single-box scale); size it to the
+cluster for production — e.g. 1024 buckets for a corpus-scale index, so
+bucket-local probes and compaction parallelize across executors.
 
 Each run re-signs every document changed since the last checkpointed
 offset (availableNow) and merges the signatures into the index table

@@ -60,16 +60,33 @@ def q_stateful_progress(spark, sf_dir):
 
 
 def q_latest_wins(spark, sf_dir):
-    """B4 latest-wins collapse: last event per user by event_id (max_by)."""
+    """B4 latest-wins collapse in the PRODUCTION shape (operators/
+    salting.py:86-120): a NARROW winner aggregate — max(event_id) per
+    key, long-only agg buffers, plans as HashAggregate — then a
+    join-back to fetch the winning row's payload.
+
+    Rounds 1-3 expressed this with ``max_by(payload, lsn)``, which
+    plans as SortAggregate (ObjectHashAggregate fallback: string
+    payloads in the agg buffer) — the exact degenerate shape the
+    round-1 addendum (SURVEY.md §8.1) flags at millions of keys.
+    Payloads must travel via join-back or window, never agg buffers
+    (CLAUDE.md).  (user_id, event_id) is unique in the events table,
+    so the join-back returns exactly the arg_max row and the oracle is
+    unchanged."""
     e = _t(spark, sf_dir, "events")
+    winners = e.groupBy("user_id").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.count("*").alias("n_events"),
+    )
+    payload = e.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
     return (
-        e.groupBy("user_id")
-        .agg(
-            F.max_by("event_type", "event_id").alias("last_type"),
-            F.max_by("value", "event_id").alias("last_value"),
-            F.max("event_id").alias("last_event_id"),
-            F.count("*").alias("n_events"),
-        )
+        winners.join(payload, ["user_id", "last_event_id"])
+        .select("user_id", "last_type", "last_value", "last_event_id", "n_events")
         .orderBy("user_id")
     )
 
@@ -87,27 +104,36 @@ ORDER BY user_id
 
 
 def q_salted_latest_wins(spark, sf_dir):
-    """B3 salted two-level collapse — must equal the unsalted q_latest_wins
-    (associative max_by decomposition), so the same oracle applies."""
+    """B3 salted two-level collapse — must equal the unsalted
+    q_latest_wins (associative max/count decomposition), so the same
+    oracle applies.  Both levels are NARROW (longs only: max(event_id)
+    + count) and plan as HashAggregate; the payload is fetched by ONE
+    join-back against the final winners, exactly like the production
+    path (operators/salting.py:66-120).  A hot key's events spread
+    across 8 salted level-1 groups, so no single reducer owns the hot
+    key's full row set."""
     e = _t(spark, sf_dir, "events")
     lvl1 = (
         e.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
         .groupBy("user_id", "_salt")
         .agg(
-            F.max_by("event_type", "event_id").alias("t"),
-            F.max_by("value", "event_id").alias("v"),
             F.max("event_id").alias("eid"),
             F.count("*").alias("n"),
         )
     )
+    winners = lvl1.groupBy("user_id").agg(
+        F.max("eid").alias("last_event_id"),
+        F.sum("n").alias("n_events"),
+    )
+    payload = e.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
     return (
-        lvl1.groupBy("user_id")
-        .agg(
-            F.max_by("t", "eid").alias("last_type"),
-            F.max_by("v", "eid").alias("last_value"),
-            F.max("eid").alias("last_event_id"),
-            F.sum("n").alias("n_events"),
-        )
+        winners.join(payload, ["user_id", "last_event_id"])
+        .select("user_id", "last_type", "last_value", "last_event_id", "n_events")
         .orderBy("user_id")
     )
 
@@ -356,6 +382,78 @@ ORDER BY user_id, valid_from_lsn
 """
 
 
+def q_dedup_index_sync(spark, sf_dir):
+    """B20 incremental near-dup signature index through the driver
+    contract (streaming/dedup_index.py): build a deterministic bronze
+    table, maintain the MinHash/LSH signature index from its change
+    feed across TWO upstream commits (inserts, updates, deletes), then
+    emit index-vs-batch agreement counts — the invariant is
+    ``index.read() == batch-computed signatures of bronze's live rows``
+    with zero disagreements.
+
+    The hop here is driven from the batch change feed
+    (changes_between → signature_events → merge_apply), i.e. exactly
+    the per-micro-batch body of start_dedup_index_stream; the streaming
+    transport around it is pinned by tests/test_dedup_index.py
+    (sync/update/delete/checkpoint-resume) and the Python-DataSource
+    stream by the table_changes_source query.  Rows-only (xxhash64
+    signatures, engine-internal tables)."""
+    import os
+
+    from ..operators.apply import apply_batch
+    from ..plans.table import SnapshotTable
+    from ..sources.generator import changes
+    from ..streaming.dedup_index import (
+        document_band_buckets,
+        signature_events,
+    )
+
+    root = tempfile.mkdtemp(prefix="q_dedup_index_")
+    bronze = SnapshotTable(spark, os.path.join(root, "b"), n_buckets=8)
+    index = SnapshotTable(spark, os.path.join(root, "i"), n_buckets=4)
+    v = 0
+    for i, (n, lsn0) in enumerate([(3000, 0), (1200, 3000)]):
+        apply_batch(
+            bronze,
+            changes(
+                spark, n, n_conv=30, turns_per_conv=10, lsn_start=lsn0,
+                partitions=4,
+            ),
+            f"b{i}",
+        )
+        feed = bronze.changes_between(v)
+        v = bronze.current_version()
+        index.merge_apply(signature_events(feed), f"i{i}")
+
+    expected = document_band_buckets(
+        bronze.read().select("conv_id", "turn_idx", "text")
+    ).select("conv_id", "turn_idx", F.to_json("buckets").alias("e_sig"))
+    actual = index.read().select(
+        "conv_id", "turn_idx", F.col("text").alias("a_sig")
+    )
+    cmp = expected.join(actual, ["conv_id", "turn_idx"], "full_outer")
+    return cmp.agg(
+        F.count("*").alias("n_keys"),
+        F.sum(
+            F.when(F.col("e_sig") == F.col("a_sig"), 1).otherwise(0)
+        ).alias("n_agree"),
+        F.sum(F.when(F.col("a_sig").isNull(), 1).otherwise(0)).alias(
+            "n_missing_from_index"
+        ),
+        F.sum(F.when(F.col("e_sig").isNull(), 1).otherwise(0)).alias(
+            "n_extra_in_index"
+        ),
+        F.sum(
+            F.when(
+                F.col("e_sig").isNotNull()
+                & F.col("a_sig").isNotNull()
+                & (F.col("e_sig") != F.col("a_sig")),
+                1,
+            ).otherwise(0)
+        ).alias("n_sig_mismatch"),
+    )
+
+
 QUERIES = {
     "latest_wins": q_latest_wins,
     "salted_latest_wins": q_salted_latest_wins,
@@ -366,6 +464,7 @@ QUERIES = {
     "cdc_rollup": q_cdc_rollup,
     "scd2_history": q_scd2_history,
     "stateful_progress": q_stateful_progress,
+    "dedup_index_sync": q_dedup_index_sync,
 }
 
 ORACLE = {

@@ -202,6 +202,13 @@ def q_embedding_dedup(spark, sf_dir):
         "label",
     )
     corpus = emb.unionByName(planted).withColumn("sig", _signature_udf()("embedding"))
+    # hot-bucket guard (VERDICT r3): bound per-sig membership so one
+    # degenerate hyperplane cell can't make the self-join quadratic.
+    from ..functions.textops import DEFAULT_BUCKET_CAP, cap_hot_buckets
+
+    corpus = cap_hot_buckets(
+        corpus, DEFAULT_BUCKET_CAP, "vec_id", keys=("sig",)
+    )
     a, b = corpus.alias("a"), corpus.alias("b")
     pairs = (
         a.join(

@@ -124,14 +124,30 @@ def index_buckets(index: SnapshotTable, version: int | None = None) -> DataFrame
     )
 
 
-def near_dup_candidates(index: SnapshotTable, probes: DataFrame) -> DataFrame:
+def near_dup_candidates(
+    index: SnapshotTable,
+    probes: DataFrame,
+    bucket_cap: int | None = None,
+) -> DataFrame:
     """Candidate near-duplicates of ``probes`` (transcript-shaped rows
     with conv_id/turn_idx/text) against the maintained index: pairs
     sharing any LSH band bucket.  Returns (probe_conv_id,
     probe_turn_idx, index_conv_id, index_turn_idx), self-matches
     excluded.  Downstream confirms with exact Jaccard
     (functions/textops.jaccard_pairs) — candidates only, never the
-    corpus."""
+    corpus.
+
+    Hot-bucket guard (VERDICT r3): index-side membership of every
+    (band, bucket) is bounded to ``bucket_cap`` deterministic
+    representatives (textops.cap_hot_buckets), so one degenerate bucket
+    — thousands of boilerplate/empty documents sharing a band — yields
+    at most ``n_probes_in_bucket x cap`` candidates instead of going
+    quadratic on one reducer.  Defaults to textops.DEFAULT_BUCKET_CAP.
+    """
+    from ..functions.textops import DEFAULT_BUCKET_CAP, cap_hot_buckets
+
+    if bucket_cap is None:
+        bucket_cap = DEFAULT_BUCKET_CAP
     probe_rows = document_band_buckets(probes).select(
         F.col("conv_id").alias("probe_conv_id"),
         F.col("turn_idx").alias("probe_turn_idx"),
@@ -143,6 +159,13 @@ def near_dup_candidates(index: SnapshotTable, probes: DataFrame) -> DataFrame:
         "band",
         "bucket",
     )
+    idx = cap_hot_buckets(
+        idx.withColumn(
+            "_id", F.concat_ws("#", "index_conv_id", "index_turn_idx")
+        ),
+        bucket_cap,
+        "_id",
+    ).drop("_id")
     pairs = probe_rows.join(idx, ["band", "bucket"]).where(
         (F.col("probe_conv_id") != F.col("index_conv_id"))
         | (F.col("probe_turn_idx") != F.col("index_turn_idx"))

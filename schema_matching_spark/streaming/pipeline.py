@@ -154,8 +154,12 @@ def drain_catchup(
     ``timeout`` (seconds) bounds a HUNG query, not a slow one: while
     the query is alive and merely slow (a cold box demand-pages every
     cache-dropped byte), the wait is extended up to 3x before giving
-    up — returning early and asserting on a half-drained sink would
-    turn slowness into a false failure.
+    up.  A query still active past the extended deadline is STOPPED and
+    ``TimeoutError`` is raised — silently returning an active query
+    would let callers read a half-drained sink as success, the exact
+    false-positive this helper exists to avoid (ADVICE r3).  The stop
+    is safe: every sink in this engine is exactly-once, so a later
+    retry against the same checkpoint resumes where the hang cut in.
     """
     import time as _time
 
@@ -169,7 +173,16 @@ def drain_catchup(
                 deadline = _time.time() + 3 * timeout
                 while not q.awaitTermination(timeout):
                     if _time.time() >= deadline:
-                        break
+                        try:
+                            q.stop()
+                        except Exception:
+                            pass  # best-effort: the raise below is the signal
+                        raise TimeoutError(
+                            f"drain_catchup: query still active after "
+                            f"{3 * timeout}s (3x the {timeout}s deadline); "
+                            "stopped it — sink may be half-drained, retry "
+                            "against the same checkpoint to resume"
+                        )
             return q
         except Exception as e:  # StreamingQueryException or Py4J wrapper
             if attempt + 1 < attempts and is_transient_worker_error(e):

@@ -111,3 +111,43 @@ def test_lang_id_sampled_training_path(spark, monkeypatch):
     )
     assert sum(r["n"] for r in rows) == n_docs
     assert all(r["n"] > 0 for r in rows)
+
+
+def test_repetition_filter_short_docs_match_oracle(spark, tmp_path):
+    """ADVICE r3: docs with <2 words have zero bigrams — the Spark side
+    must not flag them vacuously (0*10 >= 0) and the DuckDB oracle must
+    not DROP them (old INNER JOIN vs bstat).  Run both sides over a
+    planted short-doc corpus and require row-for-row agreement."""
+    import duckdb
+
+    rows = [
+        (1, ""),                                # empty
+        (2, "hello"),                           # 1 word, 0 bigrams
+        (3, "yes yes"),                         # 1 bigram, repetitive
+        (4, "one two three four five six seven eight nine ten eleven"),
+        (5, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = [
+        (
+            r["doc_id"], r["total_words"], r["distinct_words"],
+            r["top_word_count"], r["n_bigrams"], r["top_bigram_count"],
+            bool(r["flagged"]),
+        )
+        for r in D.q_repetition_filter(spark, str(tmp_path)).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    exp = [
+        (a, b, c, d, e, f, bool(g))
+        for a, b, c, d, e, f, g in con.execute(
+            D.SQL_REPETITION_FILTER
+        ).fetchall()
+    ]
+    assert got == exp
+    # the 1-word/empty docs are PRESENT on both sides (LEFT JOIN fix)
+    assert [r[0] for r in got] == [1, 2, 3, 4, 5]

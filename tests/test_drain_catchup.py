@@ -18,6 +18,7 @@ class FakeQuery:
         self.fail_with = fail_with
         self.false_waits = false_waits
         self.wait_calls = 0
+        self.stopped = False
 
     def awaitTermination(self, timeout=None):
         self.wait_calls += 1
@@ -27,6 +28,9 @@ class FakeQuery:
             self.false_waits -= 1
             return False
         return True
+
+    def stop(self):
+        self.stopped = True
 
 
 TRANSIENT = RuntimeError(
@@ -81,6 +85,16 @@ def test_slow_but_alive_query_gets_extended_wait():
     out = drain_catchup(lambda: q, timeout=60)
     assert out is q
     assert q.wait_calls == 3  # extended past the first window, not killed
+
+
+def test_hung_query_is_stopped_and_raises():
+    """A query still active past 3x the deadline must NOT be returned
+    as success: drain_catchup stops it and raises TimeoutError, so a
+    hang can never read as a completed drain (ADVICE r3)."""
+    q = FakeQuery(false_waits=10**12)  # effectively never terminates
+    with pytest.raises(TimeoutError):
+        drain_catchup(lambda: q, timeout=0.01)
+    assert q.stopped
 
 
 def test_spawn_failure_inside_start_fn_is_retried():

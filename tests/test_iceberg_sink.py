@@ -1,106 +1,214 @@
-"""Iceberg sink adapter gating (plans/iceberg_sink.py): no Iceberg jar
-in this sandbox, so availability must report False and the merge must
-fail actionably — while the mergeInto API surface it targets exists."""
+"""Iceberg swap-path contract (plans/iceberg_sink.py, VERDICT r3 #8).
+
+No Iceberg jar ships in this sandbox, so ``merge_into_iceberg`` cannot
+run live — but its MERGE must stay clause-for-clause equivalent to
+SnapshotTable.merge_apply or the documented "swap by configuration"
+story rots silently.  Two layers:
+
+1. Clause capture on fakes (Spark-free): the exact merge condition,
+   whenMatched guard, and clause kinds the adapter emits — including
+   the tombstone rule: NO delete clause, op='D' rows update/insert like
+   any row.
+2. Semantics parity on the real engine: a pure-Python executor that
+   applies EXACTLY the captured clauses to a dict replays the same
+   change batches as SnapshotTable.merge_apply; final visible states
+   must match row-for-row (I/U/D, stale redelivery, delete-before-
+   insert).
+"""
 
 import pytest
 
-from schema_matching_spark.plans.iceberg_sink import (
-    IcebergUnavailableError,
-    iceberg_available,
-    merge_into_iceberg,
-)
-from schema_matching_spark.sources.generator import changes
+from schema_matching_spark.plans import iceberg_sink as sink
+from schema_matching_spark.schemas import KEY_COLS
 
 
-def test_unavailable_without_catalog(spark):
-    assert iceberg_available(spark) is False
+class FakeMergeChain:
+    """Duck-typed DataFrame + MergeIntoWriter recording the clauses."""
+
+    def __init__(self):
+        self.calls = []
+        self.merge_cond = None
+        self.table = None
+        self.merged = False
+
+    # DataFrame surface
+    def alias(self, name):
+        self.calls.append(("alias", name))
+        return self
+
+    def mergeInto(self, table, cond):
+        self.table = table
+        self.merge_cond = cond
+        return self
+
+    # MergeIntoWriter surface
+    def whenMatched(self, cond=None):
+        self.calls.append(("whenMatched", cond))
+        return self
+
+    def whenNotMatched(self, cond=None):
+        self.calls.append(("whenNotMatched", cond))
+        return self
+
+    def whenNotMatchedBySource(self, cond=None):
+        self.calls.append(("whenNotMatchedBySource", cond))
+        return self
+
+    def updateAll(self):
+        self.calls.append(("updateAll", None))
+        return self
+
+    def insertAll(self):
+        self.calls.append(("insertAll", None))
+        return self
+
+    def delete(self):
+        self.calls.append(("delete", None))
+        return self
+
+    def merge(self):
+        self.merged = True
 
 
-def test_merge_raises_actionable_error(spark):
-    log = changes(spark, 100, n_conv=5, turns_per_conv=5, partitions=1)
-    with pytest.raises(IcebergUnavailableError, match="iceberg-spark-runtime"):
-        merge_into_iceberg(spark, "db.transcripts", log)
+class _Jvm:
+    class java:
+        class lang:
+            class Class:
+                @staticmethod
+                def forName(name):
+                    return object
 
 
-def test_mergeinto_api_present(spark):
-    """The swap target (DataFrame.mergeInto) exists in this PySpark."""
-    log = changes(spark, 10, n_conv=2, turns_per_conv=2, partitions=1)
-    assert hasattr(log, "mergeInto")
+class _Conf:
+    def get(self, key, default=None):
+        return "java.lang.Object"
 
 
-# ---------------------------------------------------------------------
-# Clause-semantics mirror: no Iceberg runtime here, so pin the MERGE
-# clause logic (matched & lsn> → updateAll, incl. tombstones; not
-# matched → insertAll, incl. tombstones; readers filter op != 'D')
-# against the scenarios ADVICE r1 flagged.  The simulator applies
-# exactly the conditions merge_into_iceberg builds.
+class _Sc:
+    _jvm = _Jvm()
 
 
-def _simulate_merge(target: dict, batch: list[dict]) -> dict:
-    """target: key -> row(dict with lsn/op/text). Applies the
-    mergeInto clauses of merge_into_iceberg to a collapsed batch."""
-    for row in batch:
-        key = (row["conv_id"], row["turn_idx"])
-        if key in target:
-            if row["lsn"] > target[key]["lsn"]:  # whenMatched(lsn>) updateAll
-                target[key] = row
-        else:  # whenNotMatched() insertAll
-            target[key] = row
-    return target
+class FakeSpark:
+    """Just enough for iceberg_available() to return True."""
+
+    conf = _Conf()
+    sparkContext = _Sc()
 
 
-def _visible(target: dict) -> dict:
-    return {k: v for k, v in target.items() if v["op"] != "D"}
+@pytest.fixture()
+def captured(monkeypatch):
+    """Run merge_into_iceberg against fakes; return the recorded chain."""
+
+    class _F:  # F.expr passthrough so conditions capture as raw SQL text
+        @staticmethod
+        def expr(s):
+            return s
+
+    monkeypatch.setattr(sink, "F", _F)
+    chain = FakeMergeChain()
+    sink.merge_into_iceberg(FakeSpark(), "db.transcripts", chain)
+    return chain
 
 
-def _row(conv, turn, lsn, op, text=""):
-    return {"conv_id": conv, "turn_idx": turn, "lsn": lsn, "op": op, "text": text}
+def test_merge_condition_is_full_key_equality(captured):
+    for k in KEY_COLS:
+        assert f"target.{k} = source.{k}" in captured.merge_cond
+    assert captured.table == "iceberg.db.transcripts"
+    assert captured.merged
 
 
-def test_stale_predelete_event_cannot_resurrect_deleted_key():
-    """Insert(lsn=1) → delete(lsn=5) applied; then the lsn=1 insert is
-    redelivered in a LATER batch (beyond the dedup watermark).  With
-    tombstones persisted it matches the stored op='D' row and loses on
-    lsn; the round-1 physical-delete formulation would have re-inserted
-    it."""
-    t = _simulate_merge({}, [_row("c1", 0, 1, "I", "hello")])
-    t = _simulate_merge(t, [_row("c1", 0, 5, "D")])
-    assert _visible(t) == {}
-    t = _simulate_merge(t, [_row("c1", 0, 1, "I", "hello")])  # stale redelivery
-    assert _visible(t) == {}, "tombstone must keep guarding the key"
+def test_clauses_match_snapshot_table_contract(captured):
+    # EXACTLY: guarded update-all, unguarded insert-all — in that order.
+    assert [c for c in captured.calls if c[0] != "alias"] == [
+        ("whenMatched", "source.lsn > target.lsn"),
+        ("updateAll", None),
+        ("whenNotMatched", None),
+        ("insertAll", None),
+    ]
 
 
-def test_delete_arriving_before_insert_wins():
-    """Out-of-order across batches: delete(lsn=5) lands first (parks a
-    tombstone via whenNotMatched insertAll), then the older insert
-    (lsn=1) arrives and must lose.  Round 1 dropped the early delete
-    entirely."""
-    t = _simulate_merge({}, [_row("c2", 3, 5, "D")])
-    assert _visible(t) == {}
-    t = _simulate_merge(t, [_row("c2", 3, 1, "I", "late insert")])
-    assert _visible(t) == {}
+def test_no_physical_delete_clause(captured):
+    """Tombstone persistence (the round-1 resurrection bug): op='D'
+    must travel through updateAll/insertAll, never a MERGE DELETE —
+    deleting would drop the lsn guard and let a stale redelivered
+    insert resurrect the key."""
+    kinds = [c[0] for c in captured.calls]
+    assert "delete" not in kinds
+    assert "whenNotMatchedBySource" not in kinds  # never touch idle keys
 
 
-def test_newer_insert_after_delete_recreates_key():
-    t = _simulate_merge({}, [_row("c3", 1, 2, "I", "v1"), _row("c3", 1, 4, "D")])
-    t = _simulate_merge(t, [_row("c3", 1, 9, "I", "v2")])
-    vis = _visible(t)
-    assert vis[("c3", 1)]["text"] == "v2"
+def test_unavailable_raises_actionable(monkeypatch):
+    class _NoConf:
+        def get(self, key, default=None):
+            return None
+
+    class NoCatalogSpark(FakeSpark):
+        conf = _NoConf()
+
+    with pytest.raises(sink.IcebergUnavailableError) as ei:
+        sink.merge_into_iceberg(NoCatalogSpark(), "db.t", FakeMergeChain())
+    assert "iceberg-spark-runtime" in str(ei.value)
 
 
-def test_simulator_matches_snapshot_table_on_fixture(spark, tmp_path):
-    """The same event sequence through the simulator and through
-    SnapshotTable.merge_apply must agree on the visible state."""
+# ---------------------------------------------------------------- layer 2
+
+
+def _merge_clause_executor(state: dict, rows) -> None:
+    """Apply EXACTLY the captured MERGE clauses to a {key: row} dict.
+
+    This is the contract under test written as executable pseudocode:
+    matched AND source.lsn > target.lsn → update all; not matched →
+    insert all; otherwise no-op.  No special-casing of op='D'.
+    """
+    for r in rows:
+        key = tuple(r[k] for k in KEY_COLS)
+        if key in state:
+            if r["lsn"] > state[key]["lsn"]:
+                state[key] = r
+        else:
+            state[key] = r
+
+
+def test_clause_semantics_match_merge_apply(spark, tmp_path):
+    """Replaying the same collapsed batches through the pure-Python
+    clause executor and through SnapshotTable.merge_apply must yield
+    identical visible states (readers filter op != 'D' on both sides:
+    read_iceberg_state mirrors SnapshotTable.read)."""
+    from schema_matching_spark.operators.salting import (
+        collapse_latest_salted,
+    )
     from schema_matching_spark.plans.table import SnapshotTable
+    from schema_matching_spark.sources.generator import (
+        changes,
+        with_dup_delivery,
+    )
 
-    log = changes(spark, 600, n_conv=12, turns_per_conv=6, partitions=2)
-    rows = [r.asDict() for r in log.collect()]
-    sim = _simulate_merge({}, sorted(rows, key=lambda r: r["lsn"]))
     table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4)
-    table.merge_apply(log, batch_id=0)
-    actual = {
-        (r["conv_id"], r["turn_idx"]): r["text"]
-        for r in table.read().select("conv_id", "turn_idx", "text").collect()
+    state: dict = {}
+    for i, (n, lsn0) in enumerate([(2000, 0), (800, 2000), (800, 1000)]):
+        # third batch REPLAYS an lsn range below the applied horizon —
+        # the stale-redelivery case the lsn guard exists for
+        batch = with_dup_delivery(
+            changes(
+                spark, n, n_conv=25, turns_per_conv=8, lsn_start=lsn0,
+                partitions=4,
+            )
+        )
+        collapsed = collapse_latest_salted(batch)
+        _merge_clause_executor(
+            state, (r.asDict() for r in collapsed.collect())
+        )
+        table.merge_apply(batch, f"b{i}")
+
+    # read() exposes logical columns only (no lsn/op) — compare the
+    # full visible payload per key
+    visible = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+        for r in table.read().collect()
     }
-    expected = {k: v["text"] for k, v in _visible(sim).items()}
-    assert actual == expected
+    expected = {
+        k: (r["role"], r["text"], r["tool"])
+        for k, r in state.items()
+        if r["op"] != "D"
+    }
+    assert visible == expected

@@ -213,3 +213,22 @@ def test_bucket_collapse_is_single_exchange(spark):
     )
     assert "Window" in final_tree
     assert n_exchanges == 1, f"expected 1 Exchange, final tree:\n{final_tree}"
+
+
+def test_latest_wins_aggs_are_hash_only(spark):
+    """VERDICT r3 #6: the B4 demo queries must plan their aggregates as
+    HashAggregate (narrow long-only buffers, production winners-join
+    shape) — the old max_by(payload) shape fell back to SortAggregate /
+    ObjectHashAggregate, degenerate at millions of keys."""
+    from schema_matching_spark.queries.cdc import (
+        q_latest_wins,
+        q_salted_latest_wins,
+    )
+
+    for q in (q_latest_wins, q_salted_latest_wins):
+        df = q(spark, SF_DIR)
+        df.collect()
+        plan = _plan(df)
+        assert "HashAggregate" in plan
+        assert "SortAggregate" not in plan, plan[:3000]
+        assert "ObjectHashAggregate" not in plan, plan[:3000]

@@ -32,10 +32,12 @@ ROWS_ONLY_WITH_LOCAL_TEST = {
     "cdc_wap": "tests/test_refs.py (branch isolation, publish, GC, streaming WAP)",
     "cdc_rollup": "tests/test_gold_rollup.py (gold == expected_rollup across sync/increment/delete/resume)",
     "table_changes_source": "tests/test_table_changes_source.py (parity with changes_between + resume)",
+    "dedup_index_sync": "tests/test_dedup_index.py (index == batch signatures across sync/update/delete/resume)",
     "stateful_progress": "tests/test_rows_only_oracles.py::test_stateful_progress_values_match_pure_sql",
     "minhash_lsh_dedup": "tests/test_dataprep.py (planted near-dup recall)",
     "simhash_dedup": "tests/test_dataprep.py (planted near-dup recall)",
-    "near_dup_clusters": "tests/test_dataprep.py + tests/test_graph.py",
+    # near_dup_clusters: gained an exact DuckDB oracle in r4 (md5-keyed
+    # chain edges — VERDICT r3 #5); no longer rows-only.
     "knn_lsh": "tests/test_similarity.py (recall vs brute force)",
     "knn_ivf": "tests/test_similarity.py (recall vs brute force)",
     "embedding_dedup": "tests/test_similarity.py (planted jitter recall)",
