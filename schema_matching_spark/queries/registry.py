@@ -45,10 +45,14 @@ _MODULES = [
 # (driver-green r3, unchanged, integer-quantized local exactness test).
 # Displaced entries keep strict-local oracle coverage
 # (scripts/strict_oracle_check.py walks ALL oracles, not just the lead).
+#
+# Round-4 in-session swap: IN — debezium_parse (new Debezium-envelope
+# source adapter, exact-oracled round trip).  OUT — quality_scores
+# (driver-green r1 AND r3, unchanged).
 LEAD = [
-    # dataprep (14)
+    # dataprep (13; quality_scores → tail in r4, green r1+r3)
     "exact_dedup", "corpus_curation", "near_dup_clusters",
-    "text_normalize", "pii_redact", "token_stats", "quality_scores",
+    "text_normalize", "pii_redact", "token_stats",
     "fingerprints", "ngram_jaccard", "minhash_lsh_dedup",
     "simhash_dedup", "lang_id", "repetition_filter", "distinctive_terms",
     # dataprep2 (5)
@@ -60,8 +64,9 @@ LEAD = [
     # multimodal (6)
     "multimodal_features", "frame_sample", "schema_evolution_mapping",
     "image_dedup", "audio_features", "scene_cuts",
-    # sources (6)
-    "csv_source", "json_source", "partition_pruned_scan",
+    # sources (7; debezium_parse new in r4)
+    "csv_source", "json_source", "debezium_parse",
+    "partition_pruned_scan",
     "stream_aggregate", "stream_stream_join", "table_changes_source",
     # python udfs (4)
     "pandas_udaf_weighted", "grouped_map_zscore", "udtf_bigrams",

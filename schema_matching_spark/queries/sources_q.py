@@ -308,9 +308,69 @@ def q_table_changes_source(spark, sf_dir):
     )
 
 
+def q_debezium_parse(spark, sf_dir):
+    """Debezium envelope round-trip (sources/debezium.py): map events
+    to canonical change rows, encode them as Debezium JSON envelopes
+    (before/after images, source.lsn, c/u/d op codes), inject
+    tombstones + a broken line + an unknown op, then parse back with
+    ``parse_envelope``.  The oracle computes the same rows DIRECTLY
+    from events with no JSON at all — a hash match proves envelope
+    encode→decode is the identity on every mapped field (op mapping,
+    before-image deletes, JSON string escaping via the embedded quote
+    in ``text``, ms-truncated event time) and that junk lines are
+    dropped.  Parse is from_json inside the scan stage: no UDF, no
+    extra exchange at any scale."""
+    from ..sources.debezium import parse_envelope, to_envelope
+
+    ev = _t(spark, sf_dir, "events")
+    m20 = F.col("event_id") % 20
+    log = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(m20 <= 13, "I").when(m20 <= 18, "U").otherwise("D").alias("op"),
+        F.col("ts"),
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.col("event_id") % 50).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(F.lit('m"'), F.col("event_id").cast("string")).alias("text"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("search")).alias("tool"),
+    )
+    junk = spark.createDataFrame(
+        [(None,), ("",), ('{"op":',), ('{"op":"x","after":null}',)],
+        "value string",
+    )
+    parsed = parse_envelope(to_envelope(log).unionAll(junk))
+    return parsed.select(
+        "lsn",
+        "op",
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.unix_millis("ts").alias("ts_ms"),
+    ).orderBy("lsn")
+
+
+SQL_DEBEZIUM_PARSE = """
+SELECT CAST(event_id AS BIGINT) AS lsn,
+       CASE WHEN event_id % 20 <= 13 THEN 'I'
+            WHEN event_id % 20 <= 18 THEN 'U'
+            ELSE 'D' END AS op,
+       'c' || CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(event_id % 50 AS INTEGER) AS turn_idx,
+       event_type AS role,
+       'm"' || CAST(event_id AS VARCHAR) AS text,
+       CASE WHEN event_id % 3 = 0 THEN 'search' END AS tool,
+       CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+FROM events
+ORDER BY lsn
+"""
+
+
 QUERIES = {
     "csv_source": q_csv_source,
     "json_source": q_json_source,
+    "debezium_parse": q_debezium_parse,
     "partition_pruned_scan": q_partition_pruned_scan,
     "stream_aggregate": q_stream_aggregate,
     "stream_stream_join": q_stream_stream_join,
@@ -320,6 +380,7 @@ QUERIES = {
 ORACLE = {
     "csv_source": SQL_CSV_SOURCE,
     "json_source": SQL_JSON_SOURCE,
+    "debezium_parse": SQL_DEBEZIUM_PARSE,
     "partition_pruned_scan": SQL_PARTITION_PRUNED,
     "stream_aggregate": SQL_STREAM_AGGREGATE,
     "stream_stream_join": SQL_STREAM_STREAM_JOIN,

@@ -1,0 +1,200 @@
+"""Debezium change-event envelope adapter (SURVEY.md §2.B B1 source
+family; north rule "binlog/WAL tail").
+
+Real CDC pipelines rarely hand Spark a clean typed change log: the
+de-facto wire format is the Debezium envelope — one JSON document per
+event with ``before``/``after`` row images, a ``source`` block carrying
+the log position (LSN), and a one-letter ``op`` code::
+
+    {"before": null,
+     "after":  {"conv_id": "c7", "turn_idx": 3, "role": "user",
+                "text": "...", "tool": null},
+     "source": {"lsn": 12345, "ts_ms": 1700000000000},
+     "op": "c",                 # c=create u=update d=delete r=snapshot-read
+     "ts_ms": 1700000000001}
+
+This module maps that envelope to the engine's canonical CHANGE_SCHEMA
+entirely with JVM-side expressions (``from_json`` + ``coalesce`` —
+no Python UDF in the parse path, per the input_hint's no-per-row-Python
+rule):
+
+* op codes  c/r -> I, u -> U, d -> D;
+* key + payload come from ``after`` (from ``before`` for deletes —
+  Debezium deletes carry the pre-image, matching the engine's
+  delete-carries-payload changelog convention, plans/table.py
+  ``changes_between(images=True)``);
+* ``lsn`` comes from ``source.lsn`` (the total order the collapse
+  relies on), event time from ``ts_ms``;
+* Kafka-compaction tombstones (null/empty value after a delete) and
+  unparseable lines are dropped, counted by the caller's Observation
+  if needed.
+
+``to_envelope`` is the exact inverse for the engine's own change rows;
+``parse_envelope(to_envelope(log)) == log`` is pinned by
+tests/test_debezium.py, which makes the adapter's field mapping a
+round-trip invariant rather than a convention.
+
+At 100 TB this path stays scan-shaped: JSON lines stream through
+``from_json`` inside WholeStageCodegen, no shuffle is introduced before
+the one collapse exchange, and the streaming reader keeps per-file
+offsets in the checkpoint exactly like the parquet WAL tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..schemas import CHANGE_COLS, TRANSCRIPT_SCHEMA
+
+#: Row image carried in before/after: the transcript payload minus the
+#: event-time column (Debezium sources ship commit time in the
+#: envelope, not inside the row image).
+_IMAGE_FIELDS = [f for f in TRANSCRIPT_SCHEMA.fields if f.name != "ts"]
+IMAGE_SCHEMA = StructType(_IMAGE_FIELDS)
+
+ENVELOPE_SCHEMA = StructType(
+    [
+        StructField("before", IMAGE_SCHEMA, True),
+        StructField("after", IMAGE_SCHEMA, True),
+        StructField(
+            "source",
+            StructType(
+                [
+                    StructField("lsn", LongType(), True),
+                    StructField("ts_ms", LongType(), True),
+                ]
+            ),
+            True,
+        ),
+        StructField("op", StringType(), True),
+        StructField("ts_ms", LongType(), True),
+    ]
+)
+
+#: Debezium op byte -> engine op.  'r' (snapshot read) lands as an
+#: insert: replaying a snapshot phase + log tail through latest-wins
+#: is how Debezium bootstraps a table.
+_OP_MAP = {"c": "I", "r": "I", "u": "U", "d": "D"}
+
+
+def _op_col(env: Column) -> Column:
+    out = F.lit(None).cast("string")
+    for dbz, ours in _OP_MAP.items():
+        out = F.when(env["op"] == dbz, F.lit(ours)).otherwise(out)
+    return out
+
+
+def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Envelope JSON strings -> canonical CHANGE_SCHEMA rows.
+
+    Works identically on batch and streaming DataFrames (pure column
+    expressions).  Tombstones (null/blank value) and rows whose JSON
+    does not parse (from_json -> null struct) are dropped; an unknown
+    op code is also dropped rather than guessed.
+    """
+    env = F.from_json(F.col(value_col), ENVELOPE_SCHEMA)
+    image = F.when(env["op"] == "d", env["before"]).otherwise(env["after"])
+    parsed = (
+        df.where(F.col(value_col).isNotNull() & (F.col(value_col) != ""))
+        .select(
+            env["source"]["lsn"].alias("lsn"),
+            _op_col(env).alias("op"),
+            F.timestamp_millis(
+                F.coalesce(env["ts_ms"], env["source"]["ts_ms"])
+            ).alias("ts"),
+            image["conv_id"].alias("conv_id"),
+            image["turn_idx"].alias("turn_idx"),
+            image["role"].alias("role"),
+            image["text"].alias("text"),
+            image["tool"].alias("tool"),
+        )
+        .where(
+            F.col("lsn").isNotNull()
+            & F.col("op").isNotNull()
+            & F.col("conv_id").isNotNull()
+            & F.col("turn_idx").isNotNull()
+        )
+    )
+    return parsed.select(*CHANGE_COLS)
+
+
+def to_envelope(log: DataFrame) -> DataFrame:
+    """Engine change rows -> one-column ``value`` envelope JSON strings.
+
+    The inverse of :func:`parse_envelope` (round-trip pinned by tests).
+    Inserts/updates carry ``after`` only; deletes carry ``before`` only,
+    as Debezium emits them.
+    """
+    image = F.struct(
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("role"),
+        F.col("text"),
+        F.col("tool"),
+    )
+    null_image = F.lit(None).cast(IMAGE_SCHEMA)
+    # NTZ-tolerant: sources that store naive event time (parquet
+    # TIMESTAMP_NTZ) cast epoch-preserving under the engine's pinned
+    # UTC session zone (session.py).
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    envelope = F.struct(
+        F.when(F.col("op") == "D", image).otherwise(null_image).alias("before"),
+        F.when(F.col("op") != "D", image).otherwise(null_image).alias("after"),
+        F.struct(
+            F.col("lsn").alias("lsn"),
+            ts_ms.alias("ts_ms"),
+        ).alias("source"),
+        F.when(F.col("op") == "I", F.lit("c"))
+        .when(F.col("op") == "U", F.lit("u"))
+        .otherwise(F.lit("d"))
+        .alias("op"),
+        ts_ms.alias("ts_ms"),
+    )
+    return log.select(F.to_json(envelope).alias("value"))
+
+
+def write_segments(log: DataFrame, wal_dir: str, n_segments: int) -> list[str]:
+    """Materialize a bounded change log as LSN-ranged JSONL envelope
+    segment directories (the Debezium-format twin of wal.write_segments)."""
+    import os
+
+    os.makedirs(wal_dir, exist_ok=True)
+    bounds = log.selectExpr("min(lsn) lo", "max(lsn) hi").collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo + 1 + n_segments - 1) // n_segments
+    paths = []
+    for i in range(n_segments):
+        seg = log.where(
+            (log.lsn >= lo + i * span) & (log.lsn < lo + (i + 1) * span)
+        )
+        path = os.path.join(wal_dir, f"segment-{i:06d}")
+        to_envelope(seg).coalesce(1).write.text(path)
+        paths.append(path)
+    return paths
+
+
+def read_stream(
+    spark: SparkSession, wal_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Tail a directory of envelope JSONL files as canonical change rows.
+
+    Same per-file checkpointed offsets as the parquet WAL tail; the
+    parse is fused into the scan stage (no extra exchange)."""
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .text(wal_dir)
+    )
+    return parse_envelope(raw)
+
+
+def read_batch(spark: SparkSession, wal_dir: str) -> DataFrame:
+    raw = spark.read.option("recursiveFileLookup", "true").text(wal_dir)
+    return parse_envelope(raw)

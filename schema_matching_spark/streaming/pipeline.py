@@ -50,6 +50,7 @@ def start_cdc_stream(
     evolver=None,
     maintenance_every: int | None = None,
     keep_snapshots: int = 5,
+    source_format: str = "parquet",
 ) -> StreamingQuery:
     """Start the CDC apply stream.  ``available_now=True`` runs a bounded
     catch-up pass (processes everything currently in the WAL, then
@@ -71,8 +72,18 @@ def start_cdc_stream(
     leaves collectable garbage.  On a cluster this would run as a
     separate scheduled job; running it inline every N triggers gives
     the same bound.
+
+    ``source_format``: ``"parquet"`` tails typed WAL segment files
+    (sources/wal.py); ``"debezium"`` tails JSONL Debezium-envelope
+    segments (sources/debezium.py) — same checkpointed per-file
+    offsets, parse fused into the scan.
     """
-    stream = read_stream(spark, wal_dir, max_files_per_trigger)
+    if source_format == "debezium":
+        from ..sources.debezium import read_stream as read_dbz
+
+        stream = read_dbz(spark, wal_dir, max_files_per_trigger)
+    else:
+        stream = read_stream(spark, wal_dir, max_files_per_trigger)
     deduped = dedup_stream(stream, watermark=watermark)
     applied_since_maintenance = {"n": 0}
 
