@@ -601,6 +601,69 @@ class SnapshotTable:
             rows = lww_reduce(rows)
         return rows.where(F.col("op") != "D").select(*TRANSCRIPT_COLS, "lsn")
 
+    def purge(self, conv_ids, batch_id, ts=None) -> int:
+        """Right-to-erasure maintenance commit (GDPR/CCPA delete): drop
+        every live turn of the given conversations THROUGH the normal
+        merge path rather than beside it, so a purge is
+
+        * **exactly-once** — ``batch_id`` in the applied ledger, replay
+          is a no-op;
+        * **bucket-pruned** — only the touched buckets are read
+          (read_keys) and rewritten (merge_apply), never the table;
+        * **LWW-safe** — the synthesized deletes carry
+          ``max(stored lsn) + 1``, so they win against every stored row
+          AND against any stale in-flight event redelivered later; a
+          genuinely new upstream event (higher lsn) still resurrects
+          the key, which is correct CDC semantics — erasure of future
+          data is upstream's job;
+        * **downstream-visible** — the deletes flow through
+          ``changes_between`` with pre-images, so silver/gold/dedup-
+          index hops retract the purged rows through their normal feed.
+
+        ``conv_ids``: a one-column conv_id DataFrame or a list of ids.
+        ``ts``: optional event-time for the tombstones (defaults to the
+        wall clock; pass a literal for deterministic tests).
+
+        Physical erasure: the COW rewrite (or MOR delta + ``compact``)
+        removes payloads from the CURRENT snapshot immediately; bytes in
+        superseded time-travel snapshots are reclaimed by
+        ``expire_snapshots`` — run it with the retention your
+        deletion-SLA requires, exactly like Iceberg/Delta vacuum.
+        Tombstone rows keep only (key, lsn, op): no payload survives.
+        """
+        cur = self.manifest()
+        if _batch_applied(cur, batch_id):
+            return cur["version"]
+        if not isinstance(conv_ids, DataFrame):
+            conv_ids = self.spark.createDataFrame(
+                [(c,) for c in conv_ids], "conv_id string"
+            )
+        stats = [f.get("lsn_max") for f in cur["files"]]
+        if stats and all(s is not None for s in stats):
+            lsn_hi = max(stats)
+        elif cur["files"]:
+            lsn_hi = self._read_files(
+                [f["path"] for f in cur["files"]]
+            ).agg(F.max("lsn")).collect()[0][0] or 0
+        else:
+            lsn_hi = 0
+        ts_col = (
+            F.lit(ts).cast("timestamp") if ts is not None
+            else F.current_timestamp()
+        )
+        null_s = F.lit(None).cast("string")
+        dels = self.read_keys(conv_ids).select(
+            F.lit(int(lsn_hi) + 1).alias("lsn"),
+            F.lit("D").alias("op"),
+            ts_col.alias("ts"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            null_s.alias("role"),
+            null_s.alias("text"),
+            null_s.alias("tool"),
+        )
+        return self.merge_apply(dels, batch_id)
+
     def count(self, version: int | None = None) -> int:
         """Live-row count.  On a COW snapshot whose files all carry
         ``rows_live`` stats (``key_blooms=True`` tables), the answer

@@ -454,6 +454,70 @@ def q_dedup_index_sync(spark, sf_dir):
     )
 
 
+def q_gdpr_purge(spark, sf_dir):
+    """Right-to-erasure through the merge path (plans/table.py
+    ``SnapshotTable.purge``): build a deterministic bronze table, purge
+    three conversations, redeliver their ORIGINAL events (stale lsns),
+    then emit one row of invariant counters — victims gone (and staying
+    gone under redelivery, the LWW guard), survivors bit-identical to
+    the pure LWW oracle, the changelog carrying one pre-imaged delete
+    per erased row (downstream hops retract through their normal feed),
+    and zero payload bytes left in the current snapshot's files.
+    Rows-only (engine-internal table); the full matrix incl. MOR,
+    exactly-once replay, resurrection-by-new-event, and physical
+    file reclaim is tests/test_purge.py."""
+    import os
+
+    from ..operators.apply import apply_batch
+    from ..plans.table import SnapshotTable
+    from ..sources.generator import changes, expected_state
+
+    root = tempfile.mkdtemp(prefix="q_gdpr_")
+    table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=8)
+    log = changes(spark, 5000, n_conv=40, turns_per_conv=10, partitions=4)
+    apply_batch(table, log, "b1")
+    victims = [
+        r["conv_id"]
+        for r in log.select("conv_id").distinct().orderBy("conv_id").limit(3).collect()
+    ]
+    v0 = table.current_version()
+    before = table.read().where(F.col("conv_id").isin(victims)).count()
+    table.purge(victims, "purge-1", ts="2024-06-01 00:00:00")
+    v1 = table.current_version()
+    apply_batch(table, log.where(F.col("conv_id").isin(victims)), "redeliver")
+
+    cur = table.read()
+    exp = expected_state(log).where(~F.col("conv_id").isin(victims))
+    mismatches = (
+        cur.select("conv_id", "turn_idx", "role", "text", "tool")
+        .exceptAll(exp.select("conv_id", "turn_idx", "role", "text", "tool"))
+        .count()
+        + exp.select("conv_id", "turn_idx", "role", "text", "tool")
+        .exceptAll(cur.select("conv_id", "turn_idx", "role", "text", "tool"))
+        .count()
+    )
+    dels = table.changes_between(v0, v1, images=True).where(
+        F.col("change_type") == "delete"
+    )
+    raw = table._read_files([f["path"] for f in table.manifest()["files"]])
+    return spark.createDataFrame(
+        [(
+            len(victims),
+            before,
+            cur.where(F.col("conv_id").isin(victims)).count(),
+            mismatches,
+            dels.count(),
+            dels.where(F.col("text").isNull()).count(),
+            raw.where(
+                F.col("conv_id").isin(victims) & F.col("text").isNotNull()
+            ).count(),
+        )],
+        "purged_convs int, victim_rows_before long, victim_rows_after long,"
+        " survivor_mismatches long, changelog_deletes long,"
+        " deletes_missing_preimage long, payload_leftover_rows long",
+    )
+
+
 QUERIES = {
     "latest_wins": q_latest_wins,
     "salted_latest_wins": q_salted_latest_wins,
@@ -465,6 +529,7 @@ QUERIES = {
     "scd2_history": q_scd2_history,
     "stateful_progress": q_stateful_progress,
     "dedup_index_sync": q_dedup_index_sync,
+    "gdpr_purge": q_gdpr_purge,
 }
 
 ORACLE = {

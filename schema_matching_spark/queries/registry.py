@@ -46,13 +46,15 @@ _MODULES = [
 # Displaced entries keep strict-local oracle coverage
 # (scripts/strict_oracle_check.py walks ALL oracles, not just the lead).
 #
-# Round-4 in-session swap: IN — debezium_parse (new Debezium-envelope
-# source adapter, exact-oracled round trip).  OUT — quality_scores
-# (driver-green r1 AND r3, unchanged).
+# Round-4 in-session swaps: IN — debezium_parse (new Debezium-envelope
+# source adapter, exact-oracled round trip) and gdpr_purge (new
+# right-to-erasure maintenance op, rows-only + tests/test_purge.py).
+# OUT — quality_scores (driver-green r1 AND r3, unchanged) and
+# text_normalize (driver-green r3, unchanged).
 LEAD = [
-    # dataprep (13; quality_scores → tail in r4, green r1+r3)
+    # dataprep (12; quality_scores + text_normalize → tail in r4)
     "exact_dedup", "corpus_curation", "near_dup_clusters",
-    "text_normalize", "pii_redact", "token_stats",
+    "pii_redact", "token_stats",
     "fingerprints", "ngram_jaccard", "minhash_lsh_dedup",
     "simhash_dedup", "lang_id", "repetition_filter", "distinctive_terms",
     # dataprep2 (5)
@@ -71,10 +73,11 @@ LEAD = [
     # python udfs (4)
     "pandas_udaf_weighted", "grouped_map_zscore", "udtf_bigrams",
     "cogrouped_asof",
-    # cdc (9; delivery_dedup → tail in r4, dedup_index_sync new)
+    # cdc (10; delivery_dedup → tail in r4, dedup_index_sync +
+    # gdpr_purge new)
     "latest_wins", "salted_latest_wins", "cdc_replay_state",
     "cdc_changelog", "cdc_wap", "cdc_rollup", "scd2_history",
-    "stateful_progress", "dedup_index_sync",
+    "stateful_progress", "dedup_index_sync", "gdpr_purge",
     # relational5 (1): the never-driver-checked VARIANT query
     "variant_extract",
 ]

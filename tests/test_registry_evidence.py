@@ -33,6 +33,7 @@ ROWS_ONLY_WITH_LOCAL_TEST = {
     "cdc_rollup": "tests/test_gold_rollup.py (gold == expected_rollup across sync/increment/delete/resume)",
     "table_changes_source": "tests/test_table_changes_source.py (parity with changes_between + resume)",
     "dedup_index_sync": "tests/test_dedup_index.py (index == batch signatures across sync/update/delete/resume)",
+    "gdpr_purge": "tests/test_purge.py (erasure vs pure LWW oracle, exactly-once, stale-redelivery guard, changelog pre-images, physical reclaim)",
     "stateful_progress": "tests/test_rows_only_oracles.py::test_stateful_progress_values_match_pure_sql",
     "minhash_lsh_dedup": "tests/test_dataprep.py (planted near-dup recall)",
     "simhash_dedup": "tests/test_dataprep.py (planted near-dup recall)",
