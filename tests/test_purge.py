@@ -108,6 +108,41 @@ def test_purge_unknown_conv_is_noop_commit(spark, tmp_path):
     assert "purge-1" in table.applied_batches()
 
 
+def test_purge_propagates_to_silver_through_change_feed(spark, tmp_path):
+    """End-to-end right-to-erasure: purge bronze, then the NORMAL
+    medallion catch-up (no purge-awareness anywhere downstream) must
+    remove the victims' rows — payloads included — from the silver
+    view, because the purge flows through changes_between like any
+    other commit."""
+    from schema_matching_spark.streaming.derived import start_derived_stream
+    from schema_matching_spark.streaming.pipeline import drain_catchup
+
+    bronze, log = _build(spark, tmp_path)
+    silver = SnapshotTable(spark, str(tmp_path / "silver"), n_buckets=4)
+    cp = str(tmp_path / "cp")
+
+    def sync():
+        drain_catchup(
+            lambda: start_derived_stream(spark, bronze.root, silver, cp),
+            timeout=120,
+        )
+
+    sync()
+    victims = _some_convs(log)
+    assert silver.read().where(F.col("conv_id").isin(victims)).count() > 0
+
+    bronze.purge(victims, "purge-1", ts=TS)
+    sync()
+    assert silver.read().where(F.col("conv_id").isin(victims)).count() == 0
+    survivors = expected_state(log).where(~F.col("conv_id").isin(victims))
+    assert states_equal(silver.read(), survivors)
+    # silver's current files hold no victim payload either
+    raw = silver._read_files([f["path"] for f in silver.manifest()["files"]])
+    assert raw.where(
+        F.col("conv_id").isin(victims) & F.col("text").isNotNull()
+    ).count() == 0
+
+
 def test_expire_reclaims_superseded_payload_bytes(spark, tmp_path):
     import glob
     import os
