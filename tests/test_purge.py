@@ -108,6 +108,38 @@ def test_purge_unknown_conv_is_noop_commit(spark, tmp_path):
     assert "purge-1" in table.applied_batches()
 
 
+def test_mor_physical_erasure_needs_compact(spark, tmp_path):
+    """MOR keeps base+delta files in the current snapshot until compact,
+    so right-to-erasure on a MOR table is purge → compact → expire:
+    after compact the folded files hold only (key, lsn, op) tombstones
+    for the victims, and expire reclaims the superseded delta/base
+    files that still carried payload bytes."""
+    import os
+
+    table, log = _build(spark, tmp_path, mode="mor")
+    victims = _some_convs(log, 2)
+    table.purge(victims, "purge-1", ts=TS)
+
+    def leftover():
+        raw = table._read_files([f["path"] for f in table.manifest()["files"]])
+        return raw.where(
+            F.col("conv_id").isin(victims) & F.col("text").isNotNull()
+        ).count()
+
+    assert leftover() > 0  # pre-compact: old files still referenced
+    table.compact()
+    assert leftover() == 0  # folded: tombstones only
+    # LWW guard survives compaction: stale redelivery still loses
+    apply_batch(table, log.where(F.col("conv_id").isin(victims)), "redeliver")
+    assert table.read().where(F.col("conv_id").isin(victims)).count() == 0
+    pre = {f["path"] for f in table.manifest(1)["files"]}
+    gc = table.expire_snapshots(keep_n=1)
+    assert gc["files_deleted"] > 0
+    assert not any(os.path.exists(p) for p in pre - {
+        f["path"] for f in table.manifest()["files"]
+    })
+
+
 def test_purge_propagates_to_silver_through_change_feed(spark, tmp_path):
     """End-to-end right-to-erasure: purge bronze, then the NORMAL
     medallion catch-up (no purge-awareness anywhere downstream) must
