@@ -360,6 +360,7 @@ class SnapshotTable:
             )
         self._key_blooms = key_blooms
         existing = self.manifest()
+        self._fence_lsn = existing.get("fence_lsn")
         if existing["version"] > 0:
             self._mode = existing.get("mode", "cow")
             self.n_buckets = existing.get("n_buckets", n_buckets)
@@ -438,6 +439,9 @@ class SnapshotTable:
     def _commit(self, manifest: dict) -> int:
         version = manifest["version"]
         manifest.setdefault("key_blooms", self._key_blooms)
+        if self._fence_lsn is not None:
+            # table property, carried across every commit path like mode
+            manifest.setdefault("fence_lsn", self._fence_lsn)
         self._atomic_write_json(self._manifest_path(version), manifest)
         self._atomic_write_json(self._pointer_path(), {"version": version})
         return version
@@ -1062,6 +1066,86 @@ class SnapshotTable:
             }
         )
 
+    def bootstrap_load(
+        self,
+        snapshot: DataFrame,
+        fence_lsn: int,
+        batch_id: str | int = "bootstrap",
+    ) -> int:
+        """Initial-snapshot load with binlog-position semantics — the
+        way a real CDC pipeline starts: snapshot the source table at a
+        recorded WAL position (the **fence**), bulk-load the snapshot,
+        then tail the log.  The tail may start anywhere at or before
+        the fence (operators re-read generously to avoid gaps), so the
+        engine must make the overlap idempotent:
+
+        * snapshot rows land as op='I'; a per-row ``lsn`` column is
+          honoured if present (source tables often carry last-modified
+          positions), else rows get ``lsn = fence_lsn``;
+        * ``fence_lsn`` is persisted in the manifest as a table
+          property (carried across merge/compact/rebucket/purge like
+          ``mode``), and every later :meth:`merge_apply` drops events
+          with ``lsn <= fence_lsn`` via a scan-pushed predicate;
+        * without the fence, LWW would mishandle exactly one overlap
+          case: a key deleted *before* the snapshot has no row (and no
+          tombstone) in the snapshot, so a redelivered pre-fence insert
+          would win against nothing and resurrect it.
+
+        Equivalence contract (tests/test_bootstrap.py): for any log L
+        and fence F, ``bootstrap_load(LWW-state(L≤F), F)`` followed by
+        replaying ANY superset of L>F that is a subset of L yields the
+        same final state as replaying L from scratch.
+
+        At 10^10 events this is the difference between replaying the
+        full history (days) and loading a snapshot (one bucketed write
+        of table-size, not log-size) plus the tail.  Exactly-once: the
+        load itself is ledgered under ``batch_id`` — a crashed-and-
+        retried bootstrap is a no-op.
+        """
+        cur = self.manifest()
+        if _batch_applied(cur, batch_id):
+            return cur["version"]
+        if cur["files"]:
+            raise ValueError(
+                "bootstrap_load requires an empty table — it defines the "
+                "table's initial state and fence; use merge_apply for "
+                "incremental changes or overwrite() to replace data"
+            )
+        fence = int(fence_lsn)
+        rows = snapshot
+        if "lsn" not in rows.columns:
+            rows = rows.withColumn("lsn", F.lit(fence).cast("long"))
+        rows = rows.withColumn("op", F.lit("I")).select(*FILE_COLS)
+        data = self._bucket_collapse(rows)
+        entries = self._write_commit_files(data.select(*FILE_COLS, "_bucket"))
+        self._fence_lsn = fence
+        version = self._next_version()
+        ledger, hw = _roll_ledger(cur, batch_id, version)
+        lineage, truncated = _roll_lineage(
+            cur,
+            {
+                "op": "bootstrap",
+                "version": version,
+                "batch_id": str(batch_id),
+                "fence_lsn": fence,
+                "wall_ts": time.time(),
+            },
+        )
+        return self._commit(
+            {
+                "version": version,
+                "parent": cur["version"],
+                "n_buckets": self.n_buckets,
+                "mode": self._mode,
+                "fence_lsn": fence,
+                "files": entries,
+                "applied_batches": ledger,
+                "applied_evicted_high_water": hw,
+                "lineage": lineage,
+                "lineage_truncated": truncated,
+            }
+        )
+
     def compact(
         self,
         tombstone_horizon_lsn: int | None = None,
@@ -1367,6 +1451,113 @@ class SnapshotTable:
             "bytes_reclaimed": bytes_reclaimed,
         }
 
+    def plan_maintenance(
+        self,
+        target_file_bytes: int = 128 << 20,
+        max_files_per_bucket: int = 4,
+        keep_snapshots: int = 5,
+    ) -> dict:
+        """Metadata-only maintenance advisor: read the manifest (never
+        the data) and say which knobs to turn — the role Iceberg's
+        table-maintenance recommendations play.  At 100 TB the planner
+        must be O(manifest): per-file rows/size ride the manifest
+        entries, so the whole plan costs a JSON read plus one
+        ``getsize`` per listed file on the driver.
+
+        Returns::
+
+            {"compact_buckets": [...],   # worst-first (file count desc)
+             "expire_candidates": n,     # manifests beyond keep_snapshots
+             "rebucket_to": n | None,    # power-of-two resize suggestion
+             "totals": {"files", "bytes", "rows", "buckets",
+                        "dead_rows" (bloom-profiled tables only)}}
+
+        ``compact_buckets``: buckets holding more than
+        ``max_files_per_bucket`` files — on MOR that is accumulated
+        delta depth (read-side LWW work), on COW small-file debris.  A
+        rolling scheduler compacts a prefix per tick (see
+        :meth:`run_maintenance`), never the whole table.
+
+        ``rebucket_to``: suggested when the average bucket carries more
+        than 4x ``target_file_bytes`` (write/read parallelism starving —
+        grow) or under a quarter of it with more than 8 buckets
+        (task-overhead waste — shrink).  Suggestions only: rebucket is
+        an O(table) rewrite the operator schedules deliberately.
+        """
+        m = self.manifest()
+        per_bucket_files: dict[int, int] = {}
+        totals = {"files": 0, "bytes": 0, "rows": 0, "buckets": self.n_buckets}
+        dead = 0
+        has_live = False
+        for f in m["files"]:
+            per_bucket_files[f["bucket"]] = per_bucket_files.get(f["bucket"], 0) + 1
+            totals["files"] += 1
+            totals["rows"] += f.get("rows", 0)
+            try:
+                totals["bytes"] += os.path.getsize(f["path"])
+            except OSError:
+                pass
+            if "rows_live" in f:
+                has_live = True
+                dead += f.get("rows", 0) - f["rows_live"]
+        if has_live:
+            totals["dead_rows"] = dead
+
+        compact = sorted(
+            (b for b, n in per_bucket_files.items() if n > max_files_per_bucket),
+            key=lambda b: -per_bucket_files[b],
+        )
+
+        snap_dir = os.path.join(self.root, "snapshots")
+        n_manifests = (
+            sum(1 for fn in os.listdir(snap_dir) if fn.endswith(".json"))
+            if os.path.isdir(snap_dir)
+            else 0
+        )
+        expire = max(0, n_manifests - max(1, keep_snapshots))
+
+        rebucket_to = None
+        if totals["bytes"] and self.n_buckets:
+            avg = totals["bytes"] / self.n_buckets
+            if avg > 4 * target_file_bytes:
+                want = max(1, totals["bytes"] // target_file_bytes)
+                rebucket_to = 1 << max(1, (int(want) - 1).bit_length())
+            elif avg * 4 < target_file_bytes and self.n_buckets > 8:
+                rebucket_to = max(8, self.n_buckets // 2)
+
+        return {
+            "compact_buckets": compact,
+            "expire_candidates": expire,
+            "rebucket_to": rebucket_to,
+            "totals": totals,
+        }
+
+    def run_maintenance(
+        self,
+        max_compact_buckets: int | None = None,
+        keep_snapshots: int = 5,
+        tombstone_horizon_lsn: int | None = None,
+        **plan_kwargs,
+    ) -> dict:
+        """One maintenance tick: plan, compact the worst
+        ``max_compact_buckets`` buckets (all flagged buckets when
+        None), then expire snapshots.  Each step is idempotent and
+        snapshot-isolated, so a crashed tick at worst leaves work for
+        the next one — the property that lets a scheduler fire this
+        blindly every N minutes against a live ingest."""
+        plan = self.plan_maintenance(keep_snapshots=keep_snapshots, **plan_kwargs)
+        actions: dict = {"plan": plan}
+        todo = plan["compact_buckets"]
+        if max_compact_buckets is not None:
+            todo = todo[:max_compact_buckets]
+        if todo:
+            actions["compacted_buckets"] = todo
+            actions["compact_version"] = self.compact(
+                tombstone_horizon_lsn=tombstone_horizon_lsn, buckets=todo
+            )
+        actions["expired"] = self.expire_snapshots(keep_n=keep_snapshots)
+        return actions
+
     def merge_apply(
         self,
         changes: DataFrame,
@@ -1414,6 +1605,20 @@ class SnapshotTable:
         cur = self.manifest()
         if _batch_applied(cur, batch_id):
             return cur["version"]  # idempotent replay
+
+        fence = cur.get("fence_lsn", self._fence_lsn)
+        if fence is not None:
+            # Bootstrap fence (see bootstrap_load): every event at or
+            # below the snapshot position is already reflected in (or
+            # deliberately absent from — deleted keys!) the bootstrap
+            # state, so it must be a no-op even when the catch-up tail
+            # overlaps the snapshot.  LWW alone cannot provide this: a
+            # key deleted before the fence has no stored tombstone, so a
+            # redelivered pre-fence insert would resurrect it.  The
+            # filter is a plain pushed-down predicate on the batch scan
+            # — overlap replay costs zero shuffle.
+            self._fence_lsn = int(fence)
+            changes = changes.where(F.col("lsn") > F.lit(int(fence)))
 
         if not cur["files"]:
             # Bootstrap fast path (empty table / full-log replay): the

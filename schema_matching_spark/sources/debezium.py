@@ -69,6 +69,11 @@ ENVELOPE_SCHEMA = StructType(
                 [
                     StructField("lsn", LongType(), True),
                     StructField("ts_ms", LongType(), True),
+                    # Debezium's source block names the origin table —
+                    # what the multi-table fan-out router keys on
+                    # (streaming/router.py).  Optional: envelopes
+                    # without it parse with table=NULL.
+                    StructField("table", StringType(), True),
                 ]
             ),
             True,
@@ -91,46 +96,98 @@ def _op_col(env: Column) -> Column:
     return out
 
 
+#: DLQ reason taxonomy, first match wins.  "tombstone" is expected
+#: protocol noise (Kafka log-compaction markers), counted but not a
+#: defect; everything else is a malformed event a real pipeline must
+#: quarantine, not silently drop.
+DLQ_REASONS = (
+    "tombstone",
+    "unparseable_json",
+    "missing_op",
+    "unknown_op",
+    "missing_lsn",
+    "missing_key",
+)
+
+#: ENVELOPE_SCHEMA plus a corrupt-record capture column: Spark's
+#: PERMISSIVE from_json yields a struct of NULL fields (not a NULL
+#: struct) for malformed JSON, so "didn't parse" is only detectable by
+#: asking the parser to record it — columnNameOfCorruptRecord puts the
+#: offending text in this field, and the taxonomy below keys on it.
+_TAGGED_SCHEMA = StructType(
+    ENVELOPE_SCHEMA.fields + [StructField("_corrupt", StringType(), True)]
+)
+
+
+def parse_envelope_tagged(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Envelope JSON strings -> CHANGE_SCHEMA columns plus a
+    ``dlq_reason`` verdict and the original ``raw_value``.
+
+    ``dlq_reason`` is NULL for a well-formed event and one of
+    :data:`DLQ_REASONS` otherwise — the single parse both the happy
+    path (:func:`parse_envelope` filters on it) and the dead-letter
+    path (streaming/pipeline.py quarantines on it) share, so the two
+    can never disagree about what "malformed" means.  Pure column
+    expressions (one ``from_json`` inside WholeStageCodegen, no Python
+    in the parse), batch and streaming alike.
+    """
+    env = F.from_json(
+        F.col(value_col),
+        _TAGGED_SCHEMA,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    image = F.when(env["op"] == "d", env["before"]).otherwise(env["after"])
+    raw = F.col(value_col)
+    reason = (
+        F.when(raw.isNull() | (raw == ""), F.lit("tombstone"))
+        .when(env.isNull() | env["_corrupt"].isNotNull(), F.lit("unparseable_json"))
+        .when(env["op"].isNull(), F.lit("missing_op"))
+        .when(_op_col(env).isNull(), F.lit("unknown_op"))
+        .when(env["source"]["lsn"].isNull(), F.lit("missing_lsn"))
+        .when(
+            image["conv_id"].isNull() | image["turn_idx"].isNull(),
+            F.lit("missing_key"),
+        )
+    )
+    return df.select(
+        env["source"]["lsn"].alias("lsn"),
+        _op_col(env).alias("op"),
+        F.timestamp_millis(
+            F.coalesce(env["ts_ms"], env["source"]["ts_ms"])
+        ).alias("ts"),
+        image["conv_id"].alias("conv_id"),
+        image["turn_idx"].alias("turn_idx"),
+        image["role"].alias("role"),
+        image["text"].alias("text"),
+        image["tool"].alias("tool"),
+        env["source"]["table"].alias("_table"),
+        reason.alias("dlq_reason"),
+        raw.alias("raw_value"),
+    )
+
+
 def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
     """Envelope JSON strings -> canonical CHANGE_SCHEMA rows.
 
     Works identically on batch and streaming DataFrames (pure column
     expressions).  Tombstones (null/blank value) and rows whose JSON
     does not parse (from_json -> null struct) are dropped; an unknown
-    op code is also dropped rather than guessed.
+    op code is also dropped rather than guessed.  Implemented as the
+    filter view of :func:`parse_envelope_tagged` so the drop rule and
+    the DLQ rule are one definition.
     """
-    env = F.from_json(F.col(value_col), ENVELOPE_SCHEMA)
-    image = F.when(env["op"] == "d", env["before"]).otherwise(env["after"])
-    parsed = (
-        df.where(F.col(value_col).isNotNull() & (F.col(value_col) != ""))
-        .select(
-            env["source"]["lsn"].alias("lsn"),
-            _op_col(env).alias("op"),
-            F.timestamp_millis(
-                F.coalesce(env["ts_ms"], env["source"]["ts_ms"])
-            ).alias("ts"),
-            image["conv_id"].alias("conv_id"),
-            image["turn_idx"].alias("turn_idx"),
-            image["role"].alias("role"),
-            image["text"].alias("text"),
-            image["tool"].alias("tool"),
-        )
-        .where(
-            F.col("lsn").isNotNull()
-            & F.col("op").isNotNull()
-            & F.col("conv_id").isNotNull()
-            & F.col("turn_idx").isNotNull()
-        )
-    )
-    return parsed.select(*CHANGE_COLS)
+    tagged = parse_envelope_tagged(df, value_col)
+    return tagged.where(F.col("dlq_reason").isNull()).select(*CHANGE_COLS)
 
 
-def to_envelope(log: DataFrame) -> DataFrame:
+def to_envelope(log: DataFrame, table_col: str | None = None) -> DataFrame:
     """Engine change rows -> one-column ``value`` envelope JSON strings.
 
     The inverse of :func:`parse_envelope` (round-trip pinned by tests).
     Inserts/updates carry ``after`` only; deletes carry ``before`` only,
-    as Debezium emits them.
+    as Debezium emits them.  ``table_col`` names a column to emit as
+    ``source.table`` (multi-table WALs for the fan-out router); when
+    None the source block stays the two-field shape.
     """
     image = F.struct(
         F.col("conv_id"),
@@ -144,13 +201,13 @@ def to_envelope(log: DataFrame) -> DataFrame:
     # TIMESTAMP_NTZ) cast epoch-preserving under the engine's pinned
     # UTC session zone (session.py).
     ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    source_fields = [F.col("lsn").alias("lsn"), ts_ms.alias("ts_ms")]
+    if table_col is not None:
+        source_fields.append(F.col(table_col).alias("table"))
     envelope = F.struct(
         F.when(F.col("op") == "D", image).otherwise(null_image).alias("before"),
         F.when(F.col("op") != "D", image).otherwise(null_image).alias("after"),
-        F.struct(
-            F.col("lsn").alias("lsn"),
-            ts_ms.alias("ts_ms"),
-        ).alias("source"),
+        F.struct(*source_fields).alias("source"),
         F.when(F.col("op") == "I", F.lit("c"))
         .when(F.col("op") == "U", F.lit("u"))
         .otherwise(F.lit("d"))
@@ -160,9 +217,12 @@ def to_envelope(log: DataFrame) -> DataFrame:
     return log.select(F.to_json(envelope).alias("value"))
 
 
-def write_segments(log: DataFrame, wal_dir: str, n_segments: int) -> list[str]:
+def write_segments(
+    log: DataFrame, wal_dir: str, n_segments: int, table_col: str | None = None
+) -> list[str]:
     """Materialize a bounded change log as LSN-ranged JSONL envelope
-    segment directories (the Debezium-format twin of wal.write_segments)."""
+    segment directories (the Debezium-format twin of wal.write_segments).
+    ``table_col`` emits per-event ``source.table`` for multi-table WALs."""
     import os
 
     os.makedirs(wal_dir, exist_ok=True)
@@ -175,9 +235,22 @@ def write_segments(log: DataFrame, wal_dir: str, n_segments: int) -> list[str]:
             (log.lsn >= lo + i * span) & (log.lsn < lo + (i + 1) * span)
         )
         path = os.path.join(wal_dir, f"segment-{i:06d}")
-        to_envelope(seg).coalesce(1).write.text(path)
+        to_envelope(seg, table_col=table_col).coalesce(1).write.text(path)
         paths.append(path)
     return paths
+
+
+def read_raw_stream(
+    spark: SparkSession, wal_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Tail envelope JSONL files as raw lines (one ``value`` column) —
+    the shape the DLQ-enabled pipeline needs (it parses per micro-batch
+    so malformed lines stay addressable for quarantine)."""
+    return (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .text(wal_dir)
+    )
 
 
 def read_stream(
@@ -187,12 +260,7 @@ def read_stream(
 
     Same per-file checkpointed offsets as the parquet WAL tail; the
     parse is fused into the scan stage (no extra exchange)."""
-    raw = (
-        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("recursiveFileLookup", "true")
-        .text(wal_dir)
-    )
-    return parse_envelope(raw)
+    return parse_envelope(read_raw_stream(spark, wal_dir, max_files_per_trigger))
 
 
 def read_batch(spark: SparkSession, wal_dir: str) -> DataFrame:

@@ -51,6 +51,7 @@ def start_cdc_stream(
     maintenance_every: int | None = None,
     keep_snapshots: int = 5,
     source_format: str = "parquet",
+    dlq_dir: str | None = None,
 ) -> StreamingQuery:
     """Start the CDC apply stream.  ``available_now=True`` runs a bounded
     catch-up pass (processes everything currently in the WAL, then
@@ -77,17 +78,64 @@ def start_cdc_stream(
     (sources/wal.py); ``"debezium"`` tails JSONL Debezium-envelope
     segments (sources/debezium.py) — same checkpointed per-file
     offsets, parse fused into the scan.
+
+    ``dlq_dir`` (``"debezium"`` only): quarantine malformed envelope
+    lines (unparseable JSON, unknown op, missing lsn/key — the
+    sources/debezium.DLQ_REASONS taxonomy) as parquet under
+    ``dlq_dir/batch_id=N/`` instead of silently dropping them, with
+    per-reason counts recorded in the commit's lineage entry.  The DLQ
+    write is per-batch-directory **overwrite**, so a replayed
+    micro-batch (crash/restart) rewrites rather than duplicates its
+    quarantine rows — the DLQ inherits the sink's exactly-once.  The
+    parse then runs inside foreachBatch (lines must stay addressable),
+    so cross-batch redelivery dedup falls to the merge's lsn-LWW
+    instead of dropDuplicatesWithinWatermark — same final state, the
+    in-stream dedup is a cost optimization, not a correctness layer.
     """
-    if source_format == "debezium":
+    dlq_split = None
+    if dlq_dir is not None:
+        if source_format != "debezium":
+            raise ValueError("dlq_dir requires source_format='debezium'")
+        from ..sources.debezium import parse_envelope_tagged, read_raw_stream
+
+        deduped = read_raw_stream(spark, wal_dir, max_files_per_trigger)
+        dlq_split = parse_envelope_tagged
+    elif source_format == "debezium":
         from ..sources.debezium import read_stream as read_dbz
 
         stream = read_dbz(spark, wal_dir, max_files_per_trigger)
+        deduped = dedup_stream(stream, watermark=watermark)
     else:
         stream = read_stream(spark, wal_dir, max_files_per_trigger)
-    deduped = dedup_stream(stream, watermark=watermark)
+        deduped = dedup_stream(stream, watermark=watermark)
     applied_since_maintenance = {"n": 0}
 
     def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from ..schemas import CHANGE_COLS
+
+        tagged = None
+        dlq_counts: dict[str, int] = {}
+        if dlq_split is not None:
+            tagged = dlq_split(batch_df).persist()
+            bad = tagged.where(F.col("dlq_reason").isNotNull())
+            dlq_counts = {
+                r["dlq_reason"]: r["n"]
+                for r in bad.groupBy("dlq_reason")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()  # bounded: ≤ len(DLQ_REASONS) rows
+            }
+            quarantine = bad.where(F.col("dlq_reason") != "tombstone")
+            if any(k != "tombstone" for k in dlq_counts):
+                quarantine.select("raw_value", "dlq_reason").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(dlq_dir, f"batch_id={batch_id}"))
+            batch_df = (
+                tagged.where(F.col("dlq_reason").isNull())
+                .select(*CHANGE_COLS)
+                .dropDuplicates(["lsn", "conv_id", "turn_idx"])
+            )
         if evolver is not None:
             batch_df = evolver(batch_df)
         obs = Observation()
@@ -100,12 +148,21 @@ def start_cdc_stream(
 
         def lineage() -> dict:
             m = obs.get  # available: the merge's write already ran
-            return {
+            out = {
                 "input_rows": m["rows"],
                 "lsn_range": [m["lsn_lo"], m["lsn_hi"]],
             }
+            if dlq_counts:
+                out["dlq_reasons"] = dlq_counts
+            return out
 
-        table.merge_apply(observed, batch_id, n_salts=n_salts, extra_lineage=lineage)
+        try:
+            table.merge_apply(
+                observed, batch_id, n_salts=n_salts, extra_lineage=lineage
+            )
+        finally:
+            if tagged is not None:
+                tagged.unpersist()
         if maintenance_every:
             applied_since_maintenance["n"] += 1
             if applied_since_maintenance["n"] >= maintenance_every:
