@@ -518,6 +518,161 @@ def q_gdpr_purge(spark, sf_dir):
     )
 
 
+def q_bootstrap_fence(spark, sf_dir):
+    """Initial-snapshot bootstrap with binlog-position semantics
+    (plans/table.py ``SnapshotTable.bootstrap_load``): compute the LWW
+    state of the log prefix up to a fence LSN, bulk-load it, then
+    replay a tail that deliberately OVERLAPS the snapshot by 1000
+    events — the fence must make the overlap a no-op (including the
+    one case LWW alone gets wrong: a key deleted before the fence has
+    no snapshot row, so a redelivered pre-fence insert would resurrect
+    it).  Emits one row of invariant counters: final state identical
+    to a full-log replay oracle, retried bootstrap is a ledgered
+    no-op, and the fence survives in the manifest.  Rows-only
+    (engine-internal table); the full equivalence matrix is
+    tests/test_bootstrap.py."""
+    import os
+
+    from ..operators.apply import apply_batch
+    from ..plans.table import SnapshotTable
+    from ..sources.generator import changes, expected_state
+
+    root = tempfile.mkdtemp(prefix="q_bootstrap_")
+    log = changes(spark, 6000, n_conv=60, turns_per_conv=10, partitions=4)
+    fence = 2999  # snapshot covers lsn 0..2999
+    snapshot = expected_state(log.where(F.col("lsn") <= fence))
+    snapshot_rows = snapshot.count()
+
+    table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=8)
+    v1 = table.bootstrap_load(snapshot, fence, "boot")
+    v2 = table.bootstrap_load(snapshot, fence, "boot")  # retried crash
+
+    tail = log.where(F.col("lsn") > fence - 1000)  # 1000-event overlap
+    apply_batch(table, tail, "tail")
+
+    cur = table.read().select("conv_id", "turn_idx", "role", "text", "tool")
+    exp = expected_state(log).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+    mismatches = cur.exceptAll(exp).count() + exp.exceptAll(cur).count()
+    return spark.createDataFrame(
+        [(
+            fence,
+            snapshot_rows,
+            tail.count(),
+            tail.where(F.col("lsn") <= fence).count(),
+            1 if v1 == v2 else 0,
+            int(table.manifest()["fence_lsn"]),
+            mismatches,
+            cur.count(),
+        )],
+        "fence_lsn long, snapshot_rows long, tail_events long,"
+        " overlap_events long, bootstrap_replay_noop int,"
+        " manifest_fence_lsn long, state_mismatches long, final_rows long",
+    )
+
+
+def q_multi_table_router(spark, sf_dir):
+    """Multi-table fan-out (streaming/router.py ``route_batch``): one
+    totally-ordered change log carrying an origin-table name routes
+    into two SnapshotTables plus an unknown-table quarantine, across
+    two micro-batches, with a replayed batch id proving per-(batch,
+    table) exactly-once.  Emits routed counts plus state-vs-per-table-
+    LWW-oracle mismatch counters.  Rows-only (engine-internal tables);
+    the streaming transport + crash consistency is
+    tests/test_router.py."""
+    import os
+
+    from ..plans.table import SnapshotTable
+    from ..sources.generator import changes, expected_state
+    from ..streaming.router import route_batch
+
+    root = tempfile.mkdtemp(prefix="q_router_")
+    log = changes(spark, 6000, n_conv=60, turns_per_conv=10, partitions=4)
+    bucket = F.pmod(F.crc32(F.col("conv_id")), F.lit(10))
+    tagged = log.withColumn(
+        "_table",
+        F.when(bucket < 5, F.lit("convs_a"))
+        .when(bucket < 9, F.lit("convs_b"))
+        .otherwise(F.lit("mystery")),
+    )
+    tables = {
+        "convs_a": SnapshotTable(spark, os.path.join(root, "a"), n_buckets=4),
+        "convs_b": SnapshotTable(spark, os.path.join(root, "b"), n_buckets=4),
+    }
+    routed: dict[str, int] = {}
+    for i, (lo, hi) in enumerate([(0, 3000), (3000, 6000)]):
+        part = route_batch(
+            tables,
+            tagged.where((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+            f"rb{i}",
+            unknown_dir=os.path.join(root, "unknown"),
+        )
+        for k, v in part.items():
+            routed[k] = routed.get(k, 0) + v
+    vers = {n: t.current_version() for n, t in tables.items()}
+    route_batch(tables, tagged.where(F.col("lsn") < 3000), "rb0")  # replay
+    replay_noop = 1 if vers == {
+        n: t.current_version() for n, t in tables.items()
+    } else 0
+
+    def mismatch(name):
+        cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+        cur = tables[name].read().select(*cols)
+        exp = expected_state(
+            tagged.where(F.col("_table") == name).drop("_table")
+        ).select(*cols)
+        return cur.exceptAll(exp).count() + exp.exceptAll(cur).count()
+
+    quarantined = spark.read.parquet(os.path.join(root, "unknown")).count()
+    return spark.createDataFrame(
+        [(
+            routed.get("convs_a", 0),
+            routed.get("convs_b", 0),
+            routed.get("_unknown", 0),
+            quarantined,
+            replay_noop,
+            mismatch("convs_a"),
+            mismatch("convs_b"),
+        )],
+        "routed_a long, routed_b long, unknown_events long,"
+        " unknown_quarantined long, replay_noop int,"
+        " mismatch_a long, mismatch_b long",
+    )
+
+
+def q_dlq_audit(spark, sf_dir):
+    """Dead-letter taxonomy (sources/debezium.py
+    ``parse_envelope_tagged``): a generated change log encoded to
+    Debezium envelopes, salted with one junk line per DLQ reason plus
+    a Kafka-compaction tombstone, parsed once — every line gets
+    exactly one verdict and the counts partition the input.  Rows-only
+    (input synthesized in Spark); the quarantine/lineage/exactly-once
+    plumbing is tests/test_dlq.py."""
+    from ..sources import debezium
+    from ..sources.generator import changes
+
+    log = changes(spark, 3000, n_conv=40, turns_per_conv=10, partitions=4)
+    junk = [
+        '{"op":',
+        "not json at all",
+        '{"after":{"conv_id":"c1","turn_idx":1},"source":{"lsn":1}}',
+        '{"op":"x","after":{"conv_id":"c1","turn_idx":1},"source":{"lsn":1}}',
+        '{"op":"c","after":{"conv_id":"c1","turn_idx":1},"source":{"ts_ms":5}}',
+        '{"op":"c","after":{"role":"user"},"source":{"lsn":1}}',
+        "",  # tombstone: counted, never a defect
+    ]
+    env = debezium.to_envelope(log).unionAll(
+        spark.createDataFrame([(j,) for j in junk], "value string")
+    )
+    return (
+        debezium.parse_envelope_tagged(env)
+        .groupBy(F.coalesce(F.col("dlq_reason"), F.lit("ok")).alias("reason"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("reason")
+    )
+
+
 QUERIES = {
     "latest_wins": q_latest_wins,
     "salted_latest_wins": q_salted_latest_wins,
@@ -530,6 +685,9 @@ QUERIES = {
     "stateful_progress": q_stateful_progress,
     "dedup_index_sync": q_dedup_index_sync,
     "gdpr_purge": q_gdpr_purge,
+    "bootstrap_fence": q_bootstrap_fence,
+    "multi_table_router": q_multi_table_router,
+    "dlq_audit": q_dlq_audit,
 }
 
 ORACLE = {

@@ -51,15 +51,23 @@ _MODULES = [
 # right-to-erasure maintenance op, rows-only + tests/test_purge.py).
 # OUT — quality_scores (driver-green r1 AND r3, unchanged) and
 # text_normalize (driver-green r3, unchanged).
+#
+# Round-4 late-session swaps: IN — bootstrap_fence (snapshot+fence
+# initial load, tests/test_bootstrap.py), multi_table_router (one-WAL
+# fan-out, tests/test_router.py), dlq_audit (malformed-envelope
+# taxonomy, tests/test_dlq.py).  OUT — exact_dedup (driver-green r1 AND
+# r3, unchanged), token_stats (driver-green r1 AND r3, unchanged),
+# epoch_shuffle (driver-green r3, unchanged deterministic permutation).
 LEAD = [
-    # dataprep (12; quality_scores + text_normalize → tail in r4)
-    "exact_dedup", "corpus_curation", "near_dup_clusters",
-    "pii_redact", "token_stats",
+    # dataprep (10; quality_scores + text_normalize + exact_dedup +
+    # token_stats → tail in r4)
+    "corpus_curation", "near_dup_clusters",
+    "pii_redact",
     "fingerprints", "ngram_jaccard", "minhash_lsh_dedup",
     "simhash_dedup", "lang_id", "repetition_filter", "distinctive_terms",
-    # dataprep2 (5)
+    # dataprep2 (4; epoch_shuffle → tail in r4)
     "sequence_pack", "stratified_sample", "contamination_check",
-    "doc_chunks", "epoch_shuffle",
+    "doc_chunks",
     # similarity (5; cosine_pairs → tail in r4)
     "knn_brute", "knn_lsh", "knn_ivf", "embedding_dedup",
     "embedding_norms",
@@ -73,11 +81,12 @@ LEAD = [
     # python udfs (4)
     "pandas_udaf_weighted", "grouped_map_zscore", "udtf_bigrams",
     "cogrouped_asof",
-    # cdc (10; delivery_dedup → tail in r4, dedup_index_sync +
-    # gdpr_purge new)
+    # cdc (13; delivery_dedup → tail in r4; dedup_index_sync +
+    # gdpr_purge + bootstrap_fence + multi_table_router + dlq_audit new)
     "latest_wins", "salted_latest_wins", "cdc_replay_state",
     "cdc_changelog", "cdc_wap", "cdc_rollup", "scd2_history",
     "stateful_progress", "dedup_index_sync", "gdpr_purge",
+    "bootstrap_fence", "multi_table_router", "dlq_audit",
     # relational5 (1): the never-driver-checked VARIANT query
     "variant_extract",
 ]

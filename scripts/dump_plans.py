@@ -112,6 +112,28 @@ def main() -> None:
     from schema_matching_spark.sources.generator import changes
     import tempfile
 
+    # bootstrap fence: the exact predicate merge_apply applies to the
+    # incoming batch when the manifest carries fence_lsn — on a parquet
+    # WAL it must land in PushedFilters (overlap replay costs zero
+    # shuffle, files below the fence are row-group-skipped).
+    from schema_matching_spark.sources import wal as wal_mod
+
+    wal_dir = tempfile.mkdtemp(prefix="plans_wal_")
+    wal_mod.write_segments(
+        changes(spark, 2000, n_conv=20, turns_per_conv=10, partitions=4),
+        wal_dir,
+        2,
+    )
+    add(
+        "bootstrap fence (merge input predicate)",
+        "bootstrap_load persists fence_lsn; merge_apply then filters the "
+        "batch with lsn > fence — a plain pushed-down predicate "
+        "(PushedFilters: GreaterThan(lsn, F)) on the WAL scan, so "
+        "snapshot/tail overlap replay is fenced out at the scan, before "
+        "any exchange.",
+        wal_mod.read_batch(spark, wal_dir).where(F.col("lsn") > 999),
+    )
+
     t = SnapshotTable(
         spark, tempfile.mkdtemp(prefix="plans_t_"), n_buckets=8
     )

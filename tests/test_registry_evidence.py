@@ -34,6 +34,9 @@ ROWS_ONLY_WITH_LOCAL_TEST = {
     "table_changes_source": "tests/test_table_changes_source.py (parity with changes_between + resume)",
     "dedup_index_sync": "tests/test_dedup_index.py (index == batch signatures across sync/update/delete/resume)",
     "gdpr_purge": "tests/test_purge.py (erasure vs pure LWW oracle, exactly-once, stale-redelivery guard, changelog pre-images, physical reclaim)",
+    "bootstrap_fence": "tests/test_bootstrap.py + tests/test_new_evidence_queries.py (snapshot+fence+overlap == full replay, deleted-key guard)",
+    "multi_table_router": "tests/test_router.py + tests/test_new_evidence_queries.py (per-table LWW equality, exactly-once, crash consistency)",
+    "dlq_audit": "tests/test_dlq.py + tests/test_new_evidence_queries.py (taxonomy exact, counts partition the input)",
     "stateful_progress": "tests/test_rows_only_oracles.py::test_stateful_progress_values_match_pure_sql",
     "minhash_lsh_dedup": "tests/test_dataprep.py (planted near-dup recall)",
     "simhash_dedup": "tests/test_dataprep.py (planted near-dup recall)",
