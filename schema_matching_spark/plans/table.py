@@ -439,6 +439,10 @@ class SnapshotTable:
     def _commit(self, manifest: dict) -> int:
         version = manifest["version"]
         manifest.setdefault("key_blooms", self._key_blooms)
+        # commit wall time as a manifest property: unlike lineage entries
+        # (a rolling window some ops don't append to), every commit gets
+        # one — the anchor timestamp-as-of time travel resolves against.
+        manifest.setdefault("committed_wall_ts", time.time())
         if self._fence_lsn is not None:
             # table property, carried across every commit path like mode
             manifest.setdefault("fence_lsn", self._fence_lsn)
@@ -466,6 +470,39 @@ class SnapshotTable:
 
     def time_travel(self, version: int) -> DataFrame:
         return self.read(version)
+
+    def version_as_of(self, wall_ts: float) -> int:
+        """Latest ancestor version committed at or before ``wall_ts``
+        (Iceberg ``TIMESTAMP AS OF`` parity).  Walks the parent chain
+        from the current head — ancestry, not the table-global manifest
+        sequence, so a branch's commits never shadow main's — comparing
+        against each manifest's ``committed_wall_ts`` (falling back to
+        the last lineage entry's wall_ts for pre-property manifests).
+        O(retained snapshots) driver-side JSON reads; raises if the
+        timestamp precedes retained history (``expire_snapshots`` may
+        have reclaimed it)."""
+        ts = float(wall_ts)
+        v = self.current_version()
+        while v > 0:
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                break
+            cts = m.get("committed_wall_ts")
+            if cts is None:
+                lin = m.get("lineage") or []
+                cts = lin[-1].get("wall_ts") if lin else None
+            if cts is not None and float(cts) <= ts:
+                return v
+            v = int(m.get("parent", 0))
+        raise ValueError(
+            f"no retained snapshot committed at or before {wall_ts}; "
+            "history may have been reclaimed by expire_snapshots"
+        )
+
+    def read_as_of(self, wall_ts: float) -> DataFrame:
+        """Table state as of a wall-clock time: ``read(version_as_of(ts))``."""
+        return self.read(self.version_as_of(wall_ts))
 
     def _bucket_entries(self, conv_id: str, manifest: dict | None = None) -> list[dict]:
         """Manifest file entries of ``conv_id``'s hash bucket.  The
@@ -1145,6 +1182,66 @@ class SnapshotTable:
                 "lineage_truncated": truncated,
             }
         )
+
+    def export_snapshot(self, out_dir: str, version: int | None = None) -> dict:
+        """Export a snapshot as a portable bootstrap package — the
+        inverse of :meth:`bootstrap_load` and the DR / region-replication
+        / dev-seeding primitive: ``out_dir/state`` holds the live LWW
+        state (per-row ``lsn`` preserved, tombstones excluded, MOR
+        deltas reduced) and ``out_dir/export.json`` the fence metadata a
+        downstream :meth:`bootstrap_from_export` needs to resume the
+        SAME WAL from the snapshot position.
+
+        The fence is the max LSN across ALL stored rows including
+        tombstones (metadata-only when every manifest file entry carries
+        footer lsn stats; a narrow lsn-column scan of the stat-less
+        files otherwise), widened by the table's own bootstrap fence if
+        larger.  Safety argument for horizon-compacted tombstones: a
+        tombstone is only erased below ``tombstone_horizon_lsn``, and
+        the horizon contract is that upstream never redelivers below it
+        — so every event the fence could miss is one the horizon already
+        excludes (tests/test_export.py pins the deleted-key round trip).
+
+        At 100 TB the export is one bucketed-read + plain parquet write
+        of TABLE size; the package replays into a new table in O(table)
+        + O(tail) instead of O(history).
+        """
+        m = self.manifest(version)
+        if not m["files"]:
+            raise ValueError("cannot export an empty table")
+        rows = self._read_files([f["path"] for f in m["files"]])
+        if m.get("mode", "cow") == "mor":
+            rows = lww_reduce(rows)
+        stats = [f.get("lsn_max") for f in m["files"]]
+        if all(s is not None for s in stats):
+            fence = max(int(s) for s in stats)
+        else:
+            fence = int(rows.agg(F.max("lsn")).collect()[0][0])
+        if m.get("fence_lsn") is not None:
+            fence = max(fence, int(m["fence_lsn"]))
+        state = rows.where(F.col("op") != "D").select(*TRANSCRIPT_COLS, "lsn")
+        os.makedirs(out_dir, exist_ok=True)
+        state.write.parquet(os.path.join(out_dir, "state"))
+        meta = {
+            "fence_lsn": fence,
+            "source_version": int(m["version"]),
+            "source_mode": m.get("mode", "cow"),
+            "wall_ts": time.time(),
+        }
+        self._atomic_write_json(os.path.join(out_dir, "export.json"), meta)
+        return meta
+
+    def bootstrap_from_export(
+        self, export_dir: str, batch_id: str | int = "bootstrap"
+    ) -> int:
+        """Start this (empty) table from an :meth:`export_snapshot`
+        package: bulk-load the exported state and adopt its fence, after
+        which tailing the same WAL from at-or-before the fence converges
+        to the source table's state (exactly-once via ``batch_id``)."""
+        with open(os.path.join(export_dir, "export.json")) as f:
+            meta = json.load(f)
+        snap = self.spark.read.parquet(os.path.join(export_dir, "state"))
+        return self.bootstrap_load(snap, meta["fence_lsn"], batch_id=batch_id)
 
     def compact(
         self,
