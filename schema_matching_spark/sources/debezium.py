@@ -80,6 +80,24 @@ ENVELOPE_SCHEMA = StructType(
         ),
         StructField("op", StringType(), True),
         StructField("ts_ms", LongType(), True),
+        # Debezium's optional per-event transaction block (emitted when
+        # the connector runs with transaction metadata enabled): id ties
+        # the event to its source transaction, total_order is the
+        # event's 1-based index within it, event_count the transaction's
+        # total size (Debezium publishes it on the END marker; connectors
+        # that embed it per-event let a sink gate on completeness
+        # without the metadata topic — streaming/txn.py consumes it).
+        StructField(
+            "transaction",
+            StructType(
+                [
+                    StructField("id", StringType(), True),
+                    StructField("total_order", LongType(), True),
+                    StructField("event_count", LongType(), True),
+                ]
+            ),
+            True,
+        ),
     ]
 )
 
@@ -161,6 +179,8 @@ def parse_envelope_tagged(df: DataFrame, value_col: str = "value") -> DataFrame:
         image["text"].alias("text"),
         image["tool"].alias("tool"),
         env["source"]["table"].alias("_table"),
+        env["transaction"]["id"].alias("_txn_id"),
+        env["transaction"]["event_count"].alias("_txn_count"),
         reason.alias("dlq_reason"),
         raw.alias("raw_value"),
     )
@@ -180,14 +200,21 @@ def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
     return tagged.where(F.col("dlq_reason").isNull()).select(*CHANGE_COLS)
 
 
-def to_envelope(log: DataFrame, table_col: str | None = None) -> DataFrame:
+def to_envelope(
+    log: DataFrame,
+    table_col: str | None = None,
+    txn_id_col: str | None = None,
+    txn_count_col: str | None = None,
+) -> DataFrame:
     """Engine change rows -> one-column ``value`` envelope JSON strings.
 
     The inverse of :func:`parse_envelope` (round-trip pinned by tests).
     Inserts/updates carry ``after`` only; deletes carry ``before`` only,
     as Debezium emits them.  ``table_col`` names a column to emit as
     ``source.table`` (multi-table WALs for the fan-out router); when
-    None the source block stays the two-field shape.
+    None the source block stays the two-field shape.  ``txn_id_col`` /
+    ``txn_count_col`` emit a per-event ``transaction`` block (id +
+    event_count) for transaction-atomic sinks (streaming/txn.py).
     """
     image = F.struct(
         F.col("conv_id"),
@@ -204,7 +231,7 @@ def to_envelope(log: DataFrame, table_col: str | None = None) -> DataFrame:
     source_fields = [F.col("lsn").alias("lsn"), ts_ms.alias("ts_ms")]
     if table_col is not None:
         source_fields.append(F.col(table_col).alias("table"))
-    envelope = F.struct(
+    envelope_fields = [
         F.when(F.col("op") == "D", image).otherwise(null_image).alias("before"),
         F.when(F.col("op") != "D", image).otherwise(null_image).alias("after"),
         F.struct(*source_fields).alias("source"),
@@ -213,16 +240,33 @@ def to_envelope(log: DataFrame, table_col: str | None = None) -> DataFrame:
         .otherwise(F.lit("d"))
         .alias("op"),
         ts_ms.alias("ts_ms"),
-    )
+    ]
+    if txn_id_col is not None:
+        txn_fields = [F.col(txn_id_col).cast("string").alias("id")]
+        if txn_count_col is not None:
+            txn_fields.append(
+                F.col(txn_count_col).cast("long").alias("event_count")
+            )
+        envelope_fields.append(F.struct(*txn_fields).alias("transaction"))
+    envelope = F.struct(*envelope_fields)
     return log.select(F.to_json(envelope).alias("value"))
 
 
 def write_segments(
-    log: DataFrame, wal_dir: str, n_segments: int, table_col: str | None = None
+    log: DataFrame,
+    wal_dir: str,
+    n_segments: int,
+    table_col: str | None = None,
+    txn_id_col: str | None = None,
+    txn_count_col: str | None = None,
 ) -> list[str]:
     """Materialize a bounded change log as LSN-ranged JSONL envelope
     segment directories (the Debezium-format twin of wal.write_segments).
-    ``table_col`` emits per-event ``source.table`` for multi-table WALs."""
+    ``table_col`` emits per-event ``source.table`` for multi-table WALs;
+    ``txn_id_col``/``txn_count_col`` emit the transaction block.  The
+    LSN-ranged split deliberately ignores transaction boundaries —
+    exactly like real WAL segment rotation, which is what makes the
+    torn-transaction case streaming/txn.py handles reproducible here."""
     import os
 
     os.makedirs(wal_dir, exist_ok=True)
@@ -235,7 +279,12 @@ def write_segments(
             (log.lsn >= lo + i * span) & (log.lsn < lo + (i + 1) * span)
         )
         path = os.path.join(wal_dir, f"segment-{i:06d}")
-        to_envelope(seg, table_col=table_col).coalesce(1).write.text(path)
+        to_envelope(
+            seg,
+            table_col=table_col,
+            txn_id_col=txn_id_col,
+            txn_count_col=txn_count_col,
+        ).coalesce(1).write.text(path)
         paths.append(path)
     return paths
 
