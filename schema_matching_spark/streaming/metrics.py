@@ -66,3 +66,33 @@ class JsonProgressListener(StreamingQueryListener):
 
     def onQueryIdle(self, event) -> None:  # pragma: no cover - timing
         pass
+
+
+def freshness_lag(table) -> dict | None:
+    """End-to-end freshness of a CDC-maintained table: how far behind
+    the SOURCE the lake copy is, from the newest lineage entry carrying
+    event-time observations (start_cdc_stream stamps ``event_ts_hi_ms``
+    + ``commit_lag_sec`` per merge).  Returns::
+
+        {"event_ts_hi_ms": ..,     # newest event time ever applied
+         "commit_lag_sec": ..,     # lag AT that commit (wall - event)
+         "staleness_sec": ..,      # lag NOW (wall now - event time)
+         "version": ..}
+
+    or None when no lineage entry carries event-time (tables fed by
+    batch apply_batch only).  Metadata-only — one manifest read; the
+    dashboard poll a 100 TB deployment alerts on."""
+    import time as _time
+
+    m = table.manifest()
+    for entry in reversed(m.get("lineage", [])):
+        if entry.get("event_ts_hi_ms") is not None:
+            return {
+                "event_ts_hi_ms": int(entry["event_ts_hi_ms"]),
+                "commit_lag_sec": float(entry.get("commit_lag_sec", 0.0)),
+                "staleness_sec": round(
+                    max(0.0, _time.time() - entry["event_ts_hi_ms"] / 1000.0), 3
+                ),
+                "version": int(entry.get("version", m.get("version", 0))),
+            }
+    return None

@@ -144,14 +144,26 @@ def start_cdc_stream(
             F.count(F.lit(1)).alias("rows"),
             F.min("lsn").alias("lsn_lo"),
             F.max("lsn").alias("lsn_hi"),
+            F.max(F.unix_millis(F.col("ts").cast("timestamp"))).alias("ts_hi_ms"),
         )
 
         def lineage() -> dict:
+            import time as _time
+
             m = obs.get  # available: the merge's write already ran
             out = {
                 "input_rows": m["rows"],
                 "lsn_range": [m["lsn_lo"], m["lsn_hi"]],
             }
+            if m["ts_hi_ms"] is not None:
+                # end-to-end freshness: commit wall time minus the
+                # newest event time in the batch — the lag a consumer
+                # of this table actually experiences.  Rides the same
+                # Observation (no extra pass); freshness_lag() reads it.
+                out["event_ts_hi_ms"] = m["ts_hi_ms"]
+                out["commit_lag_sec"] = round(
+                    max(0.0, _time.time() - m["ts_hi_ms"] / 1000.0), 3
+                )
             if dlq_counts:
                 out["dlq_reasons"] = dlq_counts
             return out

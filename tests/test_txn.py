@@ -206,3 +206,45 @@ def test_envelope_transaction_block_roundtrip(spark):
     t2 = debezium.parse_envelope_tagged(plain)
     assert t2.where(F.col("_txn_id").isNotNull()).count() == 0
     assert t2.where(F.col("dlq_reason").isNotNull()).count() == 0
+
+
+def test_freshness_lag_from_stream_lineage(spark, tmp_path):
+    """start_cdc_stream stamps event_ts_hi_ms + commit_lag_sec per
+    merge; freshness_lag() reads the newest one metadata-only."""
+    from schema_matching_spark.sources.generator import changes
+    from schema_matching_spark.sources.wal import write_segments
+    from schema_matching_spark.streaming.metrics import freshness_lag
+    from schema_matching_spark.streaming.pipeline import start_cdc_stream
+
+    log = changes(spark, 1000, n_conv=20, turns_per_conv=10, partitions=2)
+    wal = str(tmp_path / "wal")
+    write_segments(log, wal, 2)
+    table = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=4)
+    drain_catchup(
+        lambda: start_cdc_stream(
+            spark, wal, table,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        ),
+        timeout=180,
+    )
+    f = freshness_lag(table)
+    assert f is not None
+    # generator event times are in the past: lag positive and sane,
+    # staleness >= lag-at-commit (wall clock only moves forward)
+    assert f["commit_lag_sec"] > 0
+    assert f["staleness_sec"] >= f["commit_lag_sec"]
+    expected_hi = log.agg(
+        F.max(F.unix_millis(F.col("ts").cast("timestamp")))
+    ).first()[0]
+    assert f["event_ts_hi_ms"] == expected_hi
+    # an empty trailing micro-batch may commit a version with no event
+    # time — freshness reports the newest version that HAS one
+    assert 1 <= f["version"] <= table.current_version()
+
+    # batch-only tables have no event-time lineage: None, not a crash
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"), n_buckets=2)
+    from schema_matching_spark.operators.apply import apply_batch
+
+    apply_batch(t2, log, "b0")
+    assert freshness_lag(t2) is None
