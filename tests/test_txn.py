@@ -6,10 +6,6 @@ boundaries fall — and the gate still converges to the full state
 (count-carrying tails complete themselves; count-less final tails via
 an explicit flush)."""
 
-import datetime as dt
-import os
-import time
-
 import pytest
 from pyspark.sql import functions as F
 
