@@ -673,6 +673,72 @@ def q_dlq_audit(spark, sf_dir):
     )
 
 
+def q_txn_atomic_apply(spark, sf_dir):
+    """Transaction-boundary atomic apply (streaming/txn.py): an
+    insert-only change log of 40 five-event source transactions, split
+    into two micro-batches MID-TRANSACTION, applied through the gate.
+    Emits one row of invariant counters: per-version walk finds zero
+    torn transactions, the batch-boundary transaction is held then
+    completed by contiguity, a crash-replay of batch 0 is a no-op, and
+    the count-less tail transaction stays held until the explicit
+    flush.  Rows-only (engine-internal tables); the streaming
+    transport + counted-tail self-completion is tests/test_txn.py."""
+    import os
+
+    from ..plans.table import SnapshotTable
+    from ..streaming.txn import apply_txn_batch, flush_pending
+
+    per = 5
+    n_txns = 40
+    ts = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    log = spark.range(n_txns * per).select(
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+        ts.alias("ts"),
+        F.concat(F.lit("c"), (F.col("id") / per).cast("long")).alias("conv_id"),
+        (F.col("id") % per).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("txt-"), F.col("id")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.concat(F.lit("t"), (F.col("id") / per).cast("long")).alias("_txn_id"),
+        F.lit(None).cast("long").alias("_txn_count"),
+    )
+    root = tempfile.mkdtemp(prefix="q_txn_")
+    table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=4)
+    pend = os.path.join(root, "pending")
+    cut = 23 * per // 2  # mid-transaction batch boundary (lsn 57, in t11)
+    r0 = apply_txn_batch(table, log.where(F.col("lsn") < cut), 0, pend)
+    v0 = table.current_version()
+    r0b = apply_txn_batch(table, log.where(F.col("lsn") < cut), 0, pend)
+    replay_noop = 1 if (r0 == r0b and table.current_version() == v0) else 0
+    r1 = apply_txn_batch(table, log.where(F.col("lsn") >= cut), 1, pend)
+
+    torn = 0
+    v = table.current_version()
+    while v > 0:
+        m = table.manifest(v)
+        torn += (
+            table.time_travel(v)
+            .groupBy("conv_id")
+            .count()
+            .where(F.col("count") != per)
+            .count()
+        )
+        v = int(m.get("parent", 0))
+    held_before_flush = table.read().count()
+    flushed = flush_pending(table, pend)
+    return spark.createDataFrame(
+        [(
+            r0["ready"], r0["held"], r1["ready"], r1["held"],
+            replay_noop, torn,
+            held_before_flush, flushed, table.read().count(),
+        )],
+        "b0_ready long, b0_held long, b1_ready long, b1_held long,"
+        " replay_noop int, torn_txn_versions long,"
+        " rows_before_flush long, flushed long, rows_after_flush long",
+    )
+
+
 QUERIES = {
     "latest_wins": q_latest_wins,
     "salted_latest_wins": q_salted_latest_wins,
@@ -688,6 +754,7 @@ QUERIES = {
     "bootstrap_fence": q_bootstrap_fence,
     "multi_table_router": q_multi_table_router,
     "dlq_audit": q_dlq_audit,
+    "txn_atomic_apply": q_txn_atomic_apply,
 }
 
 ORACLE = {

@@ -55,15 +55,17 @@ _MODULES = [
 # Round-4 late-session swaps: IN — bootstrap_fence (snapshot+fence
 # initial load, tests/test_bootstrap.py), multi_table_router (one-WAL
 # fan-out, tests/test_router.py), dlq_audit (malformed-envelope
-# taxonomy, tests/test_dlq.py).  OUT — exact_dedup (driver-green r1 AND
+# taxonomy, tests/test_dlq.py), txn_atomic_apply (transaction-boundary
+# gate, tests/test_txn.py).  OUT — exact_dedup (driver-green r1 AND
 # r3, unchanged), token_stats (driver-green r1 AND r3, unchanged),
-# epoch_shuffle (driver-green r3, unchanged deterministic permutation).
+# epoch_shuffle (driver-green r3, unchanged deterministic permutation),
+# fingerprints (driver-green r3, unchanged).
 LEAD = [
-    # dataprep (10; quality_scores + text_normalize + exact_dedup +
-    # token_stats → tail in r4)
+    # dataprep (9; quality_scores + text_normalize + exact_dedup +
+    # token_stats + fingerprints → tail in r4)
     "corpus_curation", "near_dup_clusters",
     "pii_redact",
-    "fingerprints", "ngram_jaccard", "minhash_lsh_dedup",
+    "ngram_jaccard", "minhash_lsh_dedup",
     "simhash_dedup", "lang_id", "repetition_filter", "distinctive_terms",
     # dataprep2 (4; epoch_shuffle → tail in r4)
     "sequence_pack", "stratified_sample", "contamination_check",
@@ -81,12 +83,14 @@ LEAD = [
     # python udfs (4)
     "pandas_udaf_weighted", "grouped_map_zscore", "udtf_bigrams",
     "cogrouped_asof",
-    # cdc (13; delivery_dedup → tail in r4; dedup_index_sync +
-    # gdpr_purge + bootstrap_fence + multi_table_router + dlq_audit new)
+    # cdc (14; delivery_dedup → tail in r4; dedup_index_sync +
+    # gdpr_purge + bootstrap_fence + multi_table_router + dlq_audit +
+    # txn_atomic_apply new)
     "latest_wins", "salted_latest_wins", "cdc_replay_state",
     "cdc_changelog", "cdc_wap", "cdc_rollup", "scd2_history",
     "stateful_progress", "dedup_index_sync", "gdpr_purge",
     "bootstrap_fence", "multi_table_router", "dlq_audit",
+    "txn_atomic_apply",
     # relational5 (1): the never-driver-checked VARIANT query
     "variant_extract",
 ]

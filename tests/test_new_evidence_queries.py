@@ -34,6 +34,18 @@ def test_multi_table_router_invariants(spark):
     )  # every event routed or quarantined, never dropped
 
 
+def test_txn_atomic_apply_invariants(spark):
+    from schema_matching_spark.queries.cdc import q_txn_atomic_apply
+
+    r = q_txn_atomic_apply(spark, SF_DIR).collect()[0]
+    assert r["torn_txn_versions"] == 0
+    assert r["replay_noop"] == 1
+    assert (r["b0_ready"], r["b0_held"]) == (55, 2)  # t11 split at lsn 57
+    assert r["b1_held"] == 5  # the count-less tail transaction t39
+    assert r["b0_ready"] + r["b1_ready"] == r["rows_before_flush"] == 195
+    assert r["flushed"] == 5 and r["rows_after_flush"] == 200
+
+
 def test_dlq_audit_taxonomy_counts(spark):
     got = {r["reason"]: r["n"] for r in q_dlq_audit(spark, SF_DIR).collect()}
     assert got == {

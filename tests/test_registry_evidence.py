@@ -37,6 +37,7 @@ ROWS_ONLY_WITH_LOCAL_TEST = {
     "bootstrap_fence": "tests/test_bootstrap.py + tests/test_new_evidence_queries.py (snapshot+fence+overlap == full replay, deleted-key guard)",
     "multi_table_router": "tests/test_router.py + tests/test_new_evidence_queries.py (per-table LWW equality, exactly-once, crash consistency)",
     "dlq_audit": "tests/test_dlq.py + tests/test_new_evidence_queries.py (taxonomy exact, counts partition the input)",
+    "txn_atomic_apply": "tests/test_txn.py + tests/test_new_evidence_queries.py (no torn txn in any version, crash-replay no-op, ledgered flush)",
     "stateful_progress": "tests/test_rows_only_oracles.py::test_stateful_progress_values_match_pure_sql",
     "minhash_lsh_dedup": "tests/test_dataprep.py (planted near-dup recall)",
     "simhash_dedup": "tests/test_dataprep.py (planted near-dup recall)",
