@@ -72,7 +72,15 @@ def route_batch(
             routed["_unknown"] = sum(unknown.values())
             if unknown_dir is not None:
                 known = list(tables)
-                cond = ~F.col("_table").isin(known) if known else F.lit(True)
+                # NULL _table must quarantine too: ~isin(...) is NULL
+                # (not true) for NULL, which would silently drop the
+                # row from the parquet while still counting it.
+                if known:
+                    cond = F.col("_table").isNull() | ~F.col("_table").isin(
+                        known
+                    )
+                else:
+                    cond = F.lit(True)
                 parsed.where(cond).select(*CHANGE_COLS, "_table").write.mode(
                     "overwrite"
                 ).parquet(os.path.join(unknown_dir, f"batch_id={batch_id}"))

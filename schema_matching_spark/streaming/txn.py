@@ -82,7 +82,8 @@ def read_pending(spark: SparkSession, pending_dir: str) -> DataFrame | None:
             ptr = json.load(f)
     except FileNotFoundError:
         return None
-    path = os.path.join(pending_dir, f"batch_id={ptr['batch_id']}")
+    gen = ptr.get("gen", f"batch_id={ptr['batch_id']}")
+    path = os.path.join(pending_dir, gen)
     if not os.path.isdir(path) or not any(
         fn.endswith(".parquet") for fn in os.listdir(path)
     ):
@@ -90,30 +91,30 @@ def read_pending(spark: SparkSession, pending_dir: str) -> DataFrame | None:
     return spark.read.parquet(path)
 
 
-def _write_pending(pending: DataFrame, pending_dir: str, batch_id) -> int:
-    """Overwrite this batch's pending set, flip the pointer, GC older
-    generations (keep the previous one — a replayed batch re-reads it)."""
-    path = os.path.join(pending_dir, f"batch_id={batch_id}")
-    pending.write.mode("overwrite").parquet(path)
-    n = int(pending.count())
+def _write_pending(pending: DataFrame, pending_dir: str, batch_id) -> None:
+    """Write this batch's pending set to a UNIQUE generation directory
+    (batch_id + random suffix), flip the pointer, GC generations older
+    than the previous pointer's.  The unique suffix means a replayed
+    batch can never overwrite the very directory its carried DataFrame
+    is lazily reading from — task retry / cache eviction during the
+    write recomputes from files that still exist."""
+    gen = f"batch_id={batch_id}.{uuid.uuid4().hex[:8]}"
+    pending.write.mode("overwrite").parquet(os.path.join(pending_dir, gen))
     os.makedirs(pending_dir, exist_ok=True)
     tmp = f"{_pointer_path(pending_dir)}.tmp.{uuid.uuid4().hex}"
     prev = None
     try:
         with open(_pointer_path(pending_dir)) as f:
-            prev = json.load(f)["batch_id"]
+            p = json.load(f)
+            prev = p.get("gen", f"batch_id={p['batch_id']}")
     except FileNotFoundError:
         pass
     with open(tmp, "w") as f:
-        json.dump({"batch_id": str(batch_id)}, f)
+        json.dump({"batch_id": str(batch_id), "gen": gen}, f)
     os.replace(tmp, _pointer_path(pending_dir))
     for fn in os.listdir(pending_dir):
-        if fn.startswith("batch_id=") and fn not in (
-            f"batch_id={batch_id}",
-            f"batch_id={prev}",
-        ):
+        if fn.startswith("batch_id=") and fn not in (gen, prev):
             shutil.rmtree(os.path.join(pending_dir, fn), ignore_errors=True)
-    return n
 
 
 def apply_txn_batch(
@@ -135,9 +136,9 @@ def apply_txn_batch(
     acc = acc.dropDuplicates(["lsn", "conv_id", "turn_idx"]).persist()
     try:
         ready, pending = split_ready(acc)
-        n_pending = _write_pending(pending, pending_dir, batch_id)
         ready_changes = ready.select(*CHANGE_COLS)
-        n_ready = ready_changes.count()
+        n_ready = int(ready_changes.count())
+        n_pending = int(pending.count())
         if n_ready:
             table.merge_apply(
                 ready_changes,
@@ -147,6 +148,15 @@ def apply_txn_batch(
                     "txn_gate": {"ready": n_ready, "held": n_pending}
                 },
             )
+        # Pointer flips ONLY AFTER the ready set is durably committed.
+        # A crash in the remaining window (merge done, pointer old)
+        # replays the batch against the PREVIOUS pending set: the
+        # applied-batch ledger no-ops the merge and the pending write
+        # recomputes identically.  Flipping first would lose
+        # carried-then-ready events forever — they'd be in neither the
+        # replayed batch nor the new pending set (crash-window pinned
+        # by tests/test_txn.py).
+        _write_pending(pending, pending_dir, batch_id)
         return {"ready": n_ready, "held": n_pending}
     finally:
         acc.unpersist()

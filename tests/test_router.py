@@ -130,3 +130,25 @@ def test_envelope_roundtrip_keeps_table(spark, routed_log):
     t2 = debezium.parse_envelope_tagged(plain)
     assert t2.where(F.col("_table").isNotNull()).count() == 0
     assert t2.where(F.col("dlq_reason").isNotNull()).count() == 0
+
+
+def test_null_table_quarantined_not_dropped(spark, tmp_path, routed_log):
+    """NULL _table (envelope without source.table) must land in the
+    quarantine parquet, not just the counter: ~isin() alone evaluates
+    NULL for NULL and silently drops the row from the sink."""
+    tables = {"alpha": SnapshotTable(spark, str(tmp_path / "a"), n_buckets=4)}
+    nulled = routed_log.limit(200).withColumn(
+        "_table",
+        F.when(F.col("_table") == "beta", F.lit(None).cast("string")).otherwise(
+            F.col("_table")
+        ),
+    ).cache()
+    n_null = nulled.where(F.col("_table").isNull()).count()
+    assert n_null > 0
+    unknown_dir = str(tmp_path / "unknown")
+    routed = route_batch(tables, nulled, batch_id=0, unknown_dir=unknown_dir)
+    assert routed["_unknown"] == n_null
+    q = spark.read.parquet(unknown_dir)
+    assert q.count() == n_null  # counter and parquet agree
+    assert q.where(F.col("_table").isNull()).count() == n_null
+    nulled.unpersist()

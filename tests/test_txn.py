@@ -244,3 +244,44 @@ def test_freshness_lag_from_stream_lineage(spark, tmp_path):
 
     apply_batch(t2, log, "b0")
     assert freshness_lag(t2) is None
+
+
+def test_crash_between_merge_and_pointer_flip(spark, tmp_path, monkeypatch):
+    """The one remaining crash window after the merge-first reorder:
+    ready set durably committed, pointer still at the previous pending
+    generation.  Replay must be a ledger no-op and no carried-then-ready
+    event may be lost.  (Under the old pointer-first ordering, a crash
+    in the mirror window lost the carried t4 events permanently — in
+    neither the replayed batch nor the new pending set.)"""
+    import schema_matching_spark.streaming.txn as txn_mod
+
+    log = txn_log(spark, 10, with_count=False).cache()
+    table = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=4)
+    pend = str(tmp_path / "pending")
+
+    b1 = log.where(F.col("lsn") < 23)  # t0-t3 ready, t4 partial (3) held
+    assert apply_txn_batch(table, b1, 0, pend) == {"ready": 20, "held": 3}
+
+    # batch 1 completes t4 (carried pending becomes ready) + starts t5
+    b2 = log.where((F.col("lsn") >= 23) & (F.col("lsn") < 26))
+    real_write = txn_mod._write_pending
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before pointer flip")
+
+    monkeypatch.setattr(txn_mod, "_write_pending", boom)
+    with pytest.raises(RuntimeError):
+        apply_txn_batch(table, b2, 1, pend)
+    # merge committed; pointer still targets batch 0's generation
+    assert table.read().count() == 5 * PER
+    v = table.current_version()
+    monkeypatch.setattr(txn_mod, "_write_pending", real_write)
+
+    # crash-replay of batch 1: carried = OLD pending (t4 partial),
+    # split recomputes identically, merge no-ops via the ledger
+    assert apply_txn_batch(table, b2, 1, pend) == {"ready": 5, "held": 1}
+    assert table.current_version() == v
+    assert table.read().count() == 5 * PER
+    assert_no_torn_txn_in_any_version(table)
+    # t4 fully present exactly once (the would-be-lost carried events)
+    assert table.read().where(F.col("conv_id") == "c4").count() == PER
