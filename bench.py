@@ -4,13 +4,21 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and the flagship CDC
 replay (deterministic generated log → dedup → salted collapse →
-exactly-once merge → final-state hash verification), then prints ONE
-JSON line:
+exactly-once merge → final-state hash verification).
+
+Output contract (VERDICT r4 item 1): the FULL self-describing capture
+(probe ledger, per-rep times, re-warm events) is written to
+BENCH/bench_full_<ts>_<pid>.json (+ BENCH/bench_last_full.json), and
+stdout's LAST line is a COMPACT headline JSON — metric, total, per-query
+secs, cdc replay/skew/incremental events-per-sec with verified flags,
+pruning ratios, one-line probe summary — hard-capped at
+COMPACT_MAX_CHARS so the driver's bounded stdout tail can never
+truncate it again (enforced by tests/test_bench_output.py):
 
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
-   "cdc": {"events": N, "replay_sec": s, "events_per_sec": r,
-           "verified": true}}
+   "cdc_replay": {"events": N, "replay_sec": s,
+                  "events_per_sec": r, "verified": true}, ...}
 
 Flags (used by bench_scaling.py): --cpus N, --events N, --cdc-only.
 """
@@ -185,7 +193,7 @@ def bench_cdc_skewed(spark, n_events: int, n_buckets: int = 128,
 
 
 def bench_cdc_incremental(
-    spark, base_events: int = 2_000_000, n_batches: int = 5,
+    spark, base_events: int = 1_000_000, n_batches: int = 5,
     batch_events: int = 200_000, n_buckets: int = 32, partitions: int = 64,
     mode: str = "cow",
 ):
@@ -383,6 +391,107 @@ def bench_point_lookup(
         shutil.rmtree(root, ignore_errors=True)
 
 
+#: Hard cap for the stdout headline line.  The driver captures only the
+#: TAIL of bench output (BENCH_r04.json kept the last 2000 chars and got
+#: `parsed: null` when the embedded probe ledger grew the one-line JSON
+#: past it) — the compact line must stay comfortably under that window
+#: forever.  tests/test_bench_output.py enforces this at a padded size.
+COMPACT_MAX_CHARS = 1800
+
+
+def compact_headline(out: dict, detail_path: str | None) -> str:
+    """Render the driver-facing one-line JSON: every headline number
+    (per-query secs, cdc replay/skew/incremental events-per-sec with
+    verified flags, pruning ratios) plus a one-line probe-health
+    summary; the full self-describing capture lives in ``detail_path``.
+    """
+    hp = out.get("host_probes") or {}
+    pre = hp.get("pre") or {}
+    rewarms = hp.get("rewarm_events") or []
+    rewarm_gbs = [
+        e["prewarm"]["gbs"]
+        for e in rewarms
+        if isinstance(e.get("prewarm"), dict) and "gbs" in e["prewarm"]
+    ]
+    probe_summary = {
+        "pre_healthy": pre.get("healthy"),
+        "pre_first_touch_gbs": pre.get("first_touch_gbs"),
+        "rewarms": len(rewarms),
+        "min_rewarm_gbs": round(min(rewarm_gbs), 2) if rewarm_gbs else None,
+        "post_first_touch_gbs": (hp.get("post") or {}).get("first_touch_gbs"),
+    }
+    cdc = out.get("cdc") or {}
+    skew = out.get("cdc_skewed") or {}
+    inc = out.get("cdc_incremental") or {}
+    mor = out.get("cdc_incremental_mor") or {}
+    scan = out.get("scan_pruning") or {}
+    lk = out.get("point_lookup") or {}
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "queries": out["queries"],
+        "cdc_replay": {
+            "events": cdc.get("events"),
+            "replay_sec": cdc.get("replay_sec"),
+            "events_per_sec": cdc.get("events_per_sec"),
+            "verified": cdc.get("verified"),
+        },
+        "cdc_replay_skewed": {
+            "events_per_sec": skew.get("events_per_sec"),
+            "verified": skew.get("verified"),
+        },
+        "cdc_incremental_cow_events_per_sec": inc.get(
+            "incremental_events_per_sec"
+        ),
+        "cdc_incremental_mor_events_per_sec": mor.get(
+            "incremental_events_per_sec"
+        ),
+        "scan_pruning": {
+            "files_read": scan.get("files_read"),
+            "files_total": scan.get("files_total"),
+            "speedup": scan.get("speedup"),
+        },
+        "point_lookup": {
+            "files_read": lk.get("files_read"),
+            "files_in_bucket": lk.get("files_in_bucket"),
+            "speedup": lk.get("speedup"),
+        },
+        "probes": probe_summary,
+        "detail_file": detail_path,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > COMPACT_MAX_CHARS:  # never re-truncate at the driver
+        compact.pop("detail_file", None)
+        compact["probes"] = {"pre_healthy": pre.get("healthy")}
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
+def write_full_capture(out: dict) -> str | None:
+    """Persist the full self-describing capture (probe ledger, per-rep
+    times, re-warm events) under BENCH/ and return its path."""
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        bench_dir = os.path.join(here, "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        path = os.path.join(
+            bench_dir, f"bench_full_{int(time.time())}_{os.getpid()}.json"
+        )
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        # stable pointer for humans/scripts
+        last = os.path.join(bench_dir, "bench_last_full.json")
+        tmp = f"{last}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(tmp, last)
+        return path
+    except OSError:
+        return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -429,9 +538,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # CDC first: it is the flagship metric, measured on a fresh JVM
-    # before the headline queries touch the heap/page pool.
+    # CDC-incremental FIRST (VERDICT r4 item 5): these are single timed
+    # 5-batch loops — the section most vulnerable to the host's
+    # mid-bench page-reclaim collapse — so they run immediately after
+    # the healthy pre-probe/prewarm, before anything else dirties the
+    # page pool.  The bootstrap build doubles as the JIT warm-up.
     timings: dict[str, float] = {}
+    inc = bench_cdc_incremental(spark, mode="cow")
+    inc_mor = bench_cdc_incremental(spark, mode="mor")
+    # Flagship replay next (best-of-3 with per-rep re-warm gates —
+    # self-protecting against regime decay in a way the incrementals
+    # are not).
     cdc = bench_cdc(spark, args.events, partitions=max(cpus * 2, 16))
     # skew evidence (north rule: hot-key skew handled EXPLICITLY): the
     # same replay with 30% of all events landing on ONE conversation.
@@ -439,8 +556,6 @@ def main() -> None:
     # skewed replay within a small factor of the uniform one — without
     # salting, one reducer would own 3M events.
     cdc_skew = bench_cdc_skewed(spark, args.events, partitions=max(cpus * 2, 16))
-    inc = bench_cdc_incremental(spark, mode="cow")
-    inc_mor = bench_cdc_incremental(spark, mode="mor")
     scan_prune = bench_scan_pruning(spark)
     point_lookup = bench_point_lookup(spark)
     timings["cdc_incremental_cow"] = inc["incremental_sec"]
@@ -494,7 +609,16 @@ def main() -> None:
             "post": host_probes(fast=True),
         },
     }
-    print(json.dumps(out))
+    # Full capture → BENCH/ file; stdout gets ONLY the compact headline
+    # as the LAST line (the driver keeps a bounded tail of stdout — the
+    # r4 capture lost the headline block when the full JSON outgrew it).
+    detail_path = write_full_capture(out)
+    if detail_path:
+        print(f"[bench] full capture: {detail_path}", file=sys.stderr,
+              flush=True)
+    line = compact_headline(out, detail_path)
+    assert len(line) <= COMPACT_MAX_CHARS, len(line)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
