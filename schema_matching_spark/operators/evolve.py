@@ -81,8 +81,14 @@ def decide_mapping(
     return mapping
 
 
-def apply_mapping(batch: DataFrame, mapping: dict[str, str | None]) -> DataFrame:
-    """Project the batch onto the target change schema, casting types."""
+def apply_mapping(
+    batch: DataFrame,
+    mapping: dict[str, str | None],
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Project the batch onto the target change schema, casting types.
+    ``keep`` appends passthrough columns (must not collide with change
+    schema names) after the canonical ones."""
     by_target = {t: s for s, t in mapping.items() if t is not None}
     cols = []
     for field in CHANGE_SCHEMA.fields:
@@ -95,6 +101,7 @@ def apply_mapping(batch: DataFrame, mapping: dict[str, str | None]) -> DataFrame
             cols.append(F.to_timestamp(F.col(src)).alias(field.name))
         else:
             cols.append(F.col(src).cast(field.dataType).alias(field.name))
+    cols.extend(F.col(c) for c in keep)
     return batch.select(*cols)
 
 
@@ -133,21 +140,29 @@ class EvolutionAligner:
         # reference; ts is both a payload and change-schema column.
         return self.table.read()
 
+    def mapping_for(self, batch: DataFrame) -> dict[str, str | None]:
+        """The ledgered (or freshly decided and then ledgered) mapping
+        for this batch's column set — without projecting, for callers
+        that need to keep passthrough columns (sources/debezium.py
+        ``recover_drifted`` threads raw lines through so unmappable
+        rows can return to the quarantine instead of silently
+        vanishing)."""
+        fp = schema_fingerprint(list(batch.columns))
+        ledger = self._load_ledger()
+        if fp in ledger:
+            return ledger[fp]["mapping"]
+        mapping = decide_mapping(
+            batch,
+            self._reference_frame(),
+            sample_rows=self.sample_rows,
+            unmatched_cost=self.unmatched_cost,
+        )
+        ledger[fp] = {"mapping": mapping, "columns": list(batch.columns)}
+        self._save_ledger(ledger)
+        return mapping
+
     def __call__(self, batch: DataFrame) -> DataFrame:
         expected = [f.name for f in CHANGE_SCHEMA.fields]
         if list(batch.columns) == expected:
             return batch  # no drift — zero-cost fast path
-        fp = schema_fingerprint(list(batch.columns))
-        ledger = self._load_ledger()
-        if fp in ledger:
-            mapping = ledger[fp]["mapping"]
-        else:
-            mapping = decide_mapping(
-                batch,
-                self._reference_frame(),
-                sample_rows=self.sample_rows,
-                unmatched_cost=self.unmatched_cost,
-            )
-            ledger[fp] = {"mapping": mapping, "columns": list(batch.columns)}
-            self._save_ledger(ledger)
-        return apply_mapping(batch, mapping)
+        return apply_mapping(batch, self.mapping_for(batch))

@@ -408,49 +408,61 @@ def q_dedup_index_sync(spark, sf_dir):
         signature_events,
     )
 
-    root = tempfile.mkdtemp(prefix="q_dedup_index_")
-    bronze = SnapshotTable(spark, os.path.join(root, "b"), n_buckets=8)
-    index = SnapshotTable(spark, os.path.join(root, "i"), n_buckets=4)
-    v = 0
-    for i, (n, lsn0) in enumerate([(3000, 0), (1200, 3000)]):
-        apply_batch(
-            bronze,
-            changes(
-                spark, n, n_conv=30, turns_per_conv=10, lsn_start=lsn0,
-                partitions=4,
-            ),
-            f"b{i}",
-        )
-        feed = bronze.changes_between(v)
-        v = bronze.current_version()
-        index.merge_apply(signature_events(feed), f"i{i}")
+    import shutil
 
-    expected = document_band_buckets(
-        bronze.read().select("conv_id", "turn_idx", "text")
-    ).select("conv_id", "turn_idx", F.to_json("buckets").alias("e_sig"))
-    actual = index.read().select(
-        "conv_id", "turn_idx", F.col("text").alias("a_sig")
-    )
-    cmp = expected.join(actual, ["conv_id", "turn_idx"], "full_outer")
-    return cmp.agg(
-        F.count("*").alias("n_keys"),
-        F.sum(
-            F.when(F.col("e_sig") == F.col("a_sig"), 1).otherwise(0)
-        ).alias("n_agree"),
-        F.sum(F.when(F.col("a_sig").isNull(), 1).otherwise(0)).alias(
-            "n_missing_from_index"
-        ),
-        F.sum(F.when(F.col("e_sig").isNull(), 1).otherwise(0)).alias(
-            "n_extra_in_index"
-        ),
-        F.sum(
-            F.when(
-                F.col("e_sig").isNotNull()
-                & F.col("a_sig").isNotNull()
-                & (F.col("e_sig") != F.col("a_sig")),
-                1,
-            ).otherwise(0)
-        ).alias("n_sig_mismatch"),
+    root = tempfile.mkdtemp(prefix="q_dedup_index_")
+    try:
+        bronze = SnapshotTable(spark, os.path.join(root, "b"), n_buckets=8)
+        index = SnapshotTable(spark, os.path.join(root, "i"), n_buckets=4)
+        v = 0
+        for i, (n, lsn0) in enumerate([(3000, 0), (1200, 3000)]):
+            apply_batch(
+                bronze,
+                changes(
+                    spark, n, n_conv=30, turns_per_conv=10, lsn_start=lsn0,
+                    partitions=4,
+                ),
+                f"b{i}",
+            )
+            feed = bronze.changes_between(v)
+            v = bronze.current_version()
+            index.merge_apply(signature_events(feed), f"i{i}")
+
+        expected = document_band_buckets(
+            bronze.read().select("conv_id", "turn_idx", "text")
+        ).select("conv_id", "turn_idx", F.to_json("buckets").alias("e_sig"))
+        actual = index.read().select(
+            "conv_id", "turn_idx", F.col("text").alias("a_sig")
+        )
+        cmp = expected.join(actual, ["conv_id", "turn_idx"], "full_outer")
+        # materialize the one counter row BEFORE the scratch tables are
+        # reclaimed (the returned DataFrame must not reference them)
+        row = cmp.agg(
+            F.count("*").alias("n_keys"),
+            F.sum(
+                F.when(F.col("e_sig") == F.col("a_sig"), 1).otherwise(0)
+            ).alias("n_agree"),
+            F.sum(F.when(F.col("a_sig").isNull(), 1).otherwise(0)).alias(
+                "n_missing_from_index"
+            ),
+            F.sum(F.when(F.col("e_sig").isNull(), 1).otherwise(0)).alias(
+                "n_extra_in_index"
+            ),
+            F.sum(
+                F.when(
+                    F.col("e_sig").isNotNull()
+                    & F.col("a_sig").isNotNull()
+                    & (F.col("e_sig") != F.col("a_sig")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_sig_mismatch"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(row)],
+        "n_keys long, n_agree long, n_missing_from_index long,"
+        " n_extra_in_index long, n_sig_mismatch long",
     )
 
 
@@ -472,36 +484,47 @@ def q_gdpr_purge(spark, sf_dir):
     from ..plans.table import SnapshotTable
     from ..sources.generator import changes, expected_state
 
-    root = tempfile.mkdtemp(prefix="q_gdpr_")
-    table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=8)
-    log = changes(spark, 5000, n_conv=40, turns_per_conv=10, partitions=4)
-    apply_batch(table, log, "b1")
-    victims = [
-        r["conv_id"]
-        for r in log.select("conv_id").distinct().orderBy("conv_id").limit(3).collect()
-    ]
-    v0 = table.current_version()
-    before = table.read().where(F.col("conv_id").isin(victims)).count()
-    table.purge(victims, "purge-1", ts="2024-06-01 00:00:00")
-    v1 = table.current_version()
-    apply_batch(table, log.where(F.col("conv_id").isin(victims)), "redeliver")
+    import shutil
 
-    cur = table.read()
-    exp = expected_state(log).where(~F.col("conv_id").isin(victims))
-    mismatches = (
-        cur.select("conv_id", "turn_idx", "role", "text", "tool")
-        .exceptAll(exp.select("conv_id", "turn_idx", "role", "text", "tool"))
-        .count()
-        + exp.select("conv_id", "turn_idx", "role", "text", "tool")
-        .exceptAll(cur.select("conv_id", "turn_idx", "role", "text", "tool"))
-        .count()
-    )
-    dels = table.changes_between(v0, v1, images=True).where(
-        F.col("change_type") == "delete"
-    )
-    raw = table._read_files([f["path"] for f in table.manifest()["files"]])
-    return spark.createDataFrame(
-        [(
+    root = tempfile.mkdtemp(prefix="q_gdpr_")
+    try:
+        table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=8)
+        log = changes(spark, 5000, n_conv=40, turns_per_conv=10, partitions=4)
+        apply_batch(table, log, "b1")
+        victims = [
+            r["conv_id"]
+            for r in log.select("conv_id").distinct().orderBy("conv_id")
+            .limit(3).collect()
+        ]
+        v0 = table.current_version()
+        before = table.read().where(F.col("conv_id").isin(victims)).count()
+        table.purge(victims, "purge-1", ts="2024-06-01 00:00:00")
+        v1 = table.current_version()
+        apply_batch(
+            table, log.where(F.col("conv_id").isin(victims)), "redeliver"
+        )
+
+        cur = table.read()
+        exp = expected_state(log).where(~F.col("conv_id").isin(victims))
+        mismatches = (
+            cur.select("conv_id", "turn_idx", "role", "text", "tool")
+            .exceptAll(
+                exp.select("conv_id", "turn_idx", "role", "text", "tool")
+            )
+            .count()
+            + exp.select("conv_id", "turn_idx", "role", "text", "tool")
+            .exceptAll(
+                cur.select("conv_id", "turn_idx", "role", "text", "tool")
+            )
+            .count()
+        )
+        dels = table.changes_between(v0, v1, images=True).where(
+            F.col("change_type") == "delete"
+        )
+        raw = table._read_files(
+            [f["path"] for f in table.manifest()["files"]]
+        )
+        row = (
             len(victims),
             before,
             cur.where(F.col("conv_id").isin(victims)).count(),
@@ -511,11 +534,59 @@ def q_gdpr_purge(spark, sf_dir):
             raw.where(
                 F.col("conv_id").isin(victims) & F.col("text").isNotNull()
             ).count(),
-        )],
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
         "purged_convs int, victim_rows_before long, victim_rows_after long,"
         " survivor_mismatches long, changelog_deletes long,"
         " deletes_missing_preimage long, payload_leftover_rows long",
     )
+
+
+def _events_changelog(spark, sf_dir):
+    """Deterministic change log derived from the DuckDB-visible
+    ``events`` parquet table — the derivation is expressed IDENTICALLY
+    in the oracle SQL CTE ``SQL_EVENTS_LOG``, which is what lets the
+    bootstrap/router/DLQ evidence queries carry exact rows+schema+hash
+    oracles instead of rows-only rows (VERDICT r4 items 6/7): lsn =
+    event_id (contiguous, unique), op by the generator's 14/5/1 I/U/D
+    bucket rule on event_id, key = (user_id, event_id % 25)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 20
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(m < 14, F.lit("I"))
+        .when(m < 19, F.lit("U"))
+        .otherwise(F.lit("D"))
+        .alias("op"),
+        F.col("ts"),
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias(
+            "conv_id"
+        ),
+        (F.col("event_id") % 25).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+    )
+
+
+#: DuckDB twin of _events_changelog (ts omitted — no emitted counter
+#: depends on event time).
+SQL_EVENTS_LOG = """
+log AS (
+  SELECT event_id AS lsn,
+         CASE WHEN event_id % 20 < 14 THEN 'I'
+              WHEN event_id % 20 < 19 THEN 'U'
+              ELSE 'D' END AS op,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         event_type AS role, props AS text,
+         CAST(NULL AS VARCHAR) AS tool
+  FROM events
+)
+"""
 
 
 def q_bootstrap_fence(spark, sf_dir):
@@ -526,37 +597,40 @@ def q_bootstrap_fence(spark, sf_dir):
     events — the fence must make the overlap a no-op (including the
     one case LWW alone gets wrong: a key deleted before the fence has
     no snapshot row, so a redelivered pre-fence insert would resurrect
-    it).  Emits one row of invariant counters: final state identical
-    to a full-log replay oracle, retried bootstrap is a ledgered
-    no-op, and the fence survives in the manifest.  Rows-only
-    (engine-internal table); the full equivalence matrix is
+    it).  Emits one row of counters, every one exact-oracled in DuckDB
+    (SQL_BOOTSTRAP_FENCE derives snapshot/tail/final sizes from the
+    same events-table change log and pins the engine invariants
+    replay_noop=1 / mismatches=0); the full equivalence matrix is
     tests/test_bootstrap.py."""
     import os
+    import shutil
 
     from ..operators.apply import apply_batch
     from ..plans.table import SnapshotTable
-    from ..sources.generator import changes, expected_state
+    from ..sources.generator import expected_state
 
     root = tempfile.mkdtemp(prefix="q_bootstrap_")
-    log = changes(spark, 6000, n_conv=60, turns_per_conv=10, partitions=4)
-    fence = 2999  # snapshot covers lsn 0..2999
-    snapshot = expected_state(log.where(F.col("lsn") <= fence))
-    snapshot_rows = snapshot.count()
+    try:
+        log = _events_changelog(spark, sf_dir)
+        fence = log.count() // 2 - 1  # snapshot covers lsn 0..fence
+        snapshot = expected_state(log.where(F.col("lsn") <= fence))
+        snapshot_rows = snapshot.count()
 
-    table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=8)
-    v1 = table.bootstrap_load(snapshot, fence, "boot")
-    v2 = table.bootstrap_load(snapshot, fence, "boot")  # retried crash
+        table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=8)
+        v1 = table.bootstrap_load(snapshot, fence, "boot")
+        v2 = table.bootstrap_load(snapshot, fence, "boot")  # retried crash
 
-    tail = log.where(F.col("lsn") > fence - 1000)  # 1000-event overlap
-    apply_batch(table, tail, "tail")
+        tail = log.where(F.col("lsn") > fence - 1000)  # 1000-event overlap
+        apply_batch(table, tail, "tail")
 
-    cur = table.read().select("conv_id", "turn_idx", "role", "text", "tool")
-    exp = expected_state(log).select(
-        "conv_id", "turn_idx", "role", "text", "tool"
-    )
-    mismatches = cur.exceptAll(exp).count() + exp.exceptAll(cur).count()
-    return spark.createDataFrame(
-        [(
+        cur = table.read().select(
+            "conv_id", "turn_idx", "role", "text", "tool"
+        )
+        exp = expected_state(log).select(
+            "conv_id", "turn_idx", "role", "text", "tool"
+        )
+        mismatches = cur.exceptAll(exp).count() + exp.exceptAll(cur).count()
+        row = (
             fence,
             snapshot_rows,
             tail.count(),
@@ -565,11 +639,45 @@ def q_bootstrap_fence(spark, sf_dir):
             int(table.manifest()["fence_lsn"]),
             mismatches,
             cur.count(),
-        )],
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
         "fence_lsn long, snapshot_rows long, tail_events long,"
         " overlap_events long, bootstrap_replay_noop int,"
         " manifest_fence_lsn long, state_mismatches long, final_rows long",
     )
+
+
+SQL_BOOTSTRAP_FENCE = f"""
+WITH {SQL_EVENTS_LOG},
+f AS (SELECT count(*) // 2 - 1 AS fence FROM log),
+pre AS (
+  SELECT op, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM log WHERE lsn <= (SELECT fence FROM f)
+),
+fin AS (
+  SELECT op, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM log
+)
+SELECT
+  CAST((SELECT fence FROM f) AS BIGINT) AS fence_lsn,
+  CAST((SELECT count(*) FROM pre WHERE rn = 1 AND op <> 'D') AS BIGINT)
+    AS snapshot_rows,
+  CAST((SELECT count(*) FROM log WHERE lsn > (SELECT fence FROM f) - 1000)
+    AS BIGINT) AS tail_events,
+  CAST((SELECT count(*) FROM log
+        WHERE lsn > (SELECT fence FROM f) - 1000
+          AND lsn <= (SELECT fence FROM f)) AS BIGINT) AS overlap_events,
+  CAST(1 AS INTEGER) AS bootstrap_replay_noop,
+  CAST((SELECT fence FROM f) AS BIGINT) AS manifest_fence_lsn,
+  CAST(0 AS BIGINT) AS state_mismatches,
+  CAST((SELECT count(*) FROM fin WHERE rn = 1 AND op <> 'D') AS BIGINT)
+    AS final_rows
+"""
 
 
 def q_multi_table_router(spark, sf_dir):
@@ -577,82 +685,112 @@ def q_multi_table_router(spark, sf_dir):
     totally-ordered change log carrying an origin-table name routes
     into two SnapshotTables plus an unknown-table quarantine, across
     two micro-batches, with a replayed batch id proving per-(batch,
-    table) exactly-once.  Emits routed counts plus state-vs-per-table-
-    LWW-oracle mismatch counters.  Rows-only (engine-internal tables);
-    the streaming transport + crash consistency is
-    tests/test_router.py."""
+    table) exactly-once.  Exact-oracled (SQL_MULTI_TABLE_ROUTER): the
+    log derives from the events table with ``_table`` assigned by
+    event_id % 10 (<5 → convs_a, <9 → convs_b, else unregistered
+    "mystery"), so DuckDB derives every routed/quarantined count from
+    the same parquet and pins replay_noop=1 / mismatches=0.  Streaming
+    transport + crash consistency is tests/test_router.py."""
     import os
+    import shutil
 
     from ..plans.table import SnapshotTable
-    from ..sources.generator import changes, expected_state
+    from ..sources.generator import expected_state
     from ..streaming.router import route_batch
 
     root = tempfile.mkdtemp(prefix="q_router_")
-    log = changes(spark, 6000, n_conv=60, turns_per_conv=10, partitions=4)
-    bucket = F.pmod(F.crc32(F.col("conv_id")), F.lit(10))
-    tagged = log.withColumn(
-        "_table",
-        F.when(bucket < 5, F.lit("convs_a"))
-        .when(bucket < 9, F.lit("convs_b"))
-        .otherwise(F.lit("mystery")),
-    )
-    tables = {
-        "convs_a": SnapshotTable(spark, os.path.join(root, "a"), n_buckets=4),
-        "convs_b": SnapshotTable(spark, os.path.join(root, "b"), n_buckets=4),
-    }
-    routed: dict[str, int] = {}
-    for i, (lo, hi) in enumerate([(0, 3000), (3000, 6000)]):
-        part = route_batch(
-            tables,
-            tagged.where((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
-            f"rb{i}",
-            unknown_dir=os.path.join(root, "unknown"),
+    try:
+        log = _events_changelog(spark, sf_dir)
+        n = log.count()
+        bucket = F.col("lsn") % 10
+        tagged = log.withColumn(
+            "_table",
+            F.when(bucket < 5, F.lit("convs_a"))
+            .when(bucket < 9, F.lit("convs_b"))
+            .otherwise(F.lit("mystery")),
         )
-        for k, v in part.items():
-            routed[k] = routed.get(k, 0) + v
-    vers = {n: t.current_version() for n, t in tables.items()}
-    route_batch(tables, tagged.where(F.col("lsn") < 3000), "rb0")  # replay
-    replay_noop = 1 if vers == {
-        n: t.current_version() for n, t in tables.items()
-    } else 0
+        tables = {
+            "convs_a": SnapshotTable(
+                spark, os.path.join(root, "a"), n_buckets=4
+            ),
+            "convs_b": SnapshotTable(
+                spark, os.path.join(root, "b"), n_buckets=4
+            ),
+        }
+        routed: dict[str, int] = {}
+        cut = n // 2
+        for i, (lo, hi) in enumerate([(0, cut), (cut, n)]):
+            part = route_batch(
+                tables,
+                tagged.where((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+                f"rb{i}",
+                unknown_dir=os.path.join(root, "unknown"),
+            )
+            for k, v in part.items():
+                routed[k] = routed.get(k, 0) + v
+        vers = {nm: t.current_version() for nm, t in tables.items()}
+        route_batch(tables, tagged.where(F.col("lsn") < cut), "rb0")  # replay
+        replay_noop = 1 if vers == {
+            nm: t.current_version() for nm, t in tables.items()
+        } else 0
 
-    def mismatch(name):
-        cols = ["conv_id", "turn_idx", "role", "text", "tool"]
-        cur = tables[name].read().select(*cols)
-        exp = expected_state(
-            tagged.where(F.col("_table") == name).drop("_table")
-        ).select(*cols)
-        return cur.exceptAll(exp).count() + exp.exceptAll(cur).count()
+        def mismatch(name):
+            cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+            cur = tables[name].read().select(*cols)
+            exp = expected_state(
+                tagged.where(F.col("_table") == name).drop("_table")
+            ).select(*cols)
+            return cur.exceptAll(exp).count() + exp.exceptAll(cur).count()
 
-    quarantined = spark.read.parquet(os.path.join(root, "unknown")).count()
-    return spark.createDataFrame(
-        [(
+        row = (
             routed.get("convs_a", 0),
             routed.get("convs_b", 0),
             routed.get("_unknown", 0),
-            quarantined,
+            spark.read.parquet(os.path.join(root, "unknown")).count(),
             replay_noop,
             mismatch("convs_a"),
             mismatch("convs_b"),
-        )],
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
         "routed_a long, routed_b long, unknown_events long,"
         " unknown_quarantined long, replay_noop int,"
         " mismatch_a long, mismatch_b long",
     )
 
 
+SQL_MULTI_TABLE_ROUTER = """
+SELECT
+  CAST((SELECT count(*) FROM events WHERE event_id % 10 < 5) AS BIGINT)
+    AS routed_a,
+  CAST((SELECT count(*) FROM events
+        WHERE event_id % 10 >= 5 AND event_id % 10 < 9) AS BIGINT)
+    AS routed_b,
+  CAST((SELECT count(*) FROM events WHERE event_id % 10 = 9) AS BIGINT)
+    AS unknown_events,
+  CAST((SELECT count(*) FROM events WHERE event_id % 10 = 9) AS BIGINT)
+    AS unknown_quarantined,
+  CAST(1 AS INTEGER) AS replay_noop,
+  CAST(0 AS BIGINT) AS mismatch_a,
+  CAST(0 AS BIGINT) AS mismatch_b
+"""
+
+
 def q_dlq_audit(spark, sf_dir):
     """Dead-letter taxonomy (sources/debezium.py
-    ``parse_envelope_tagged``): a generated change log encoded to
+    ``parse_envelope_tagged``): the events-table change log encoded to
     Debezium envelopes, salted with one junk line per DLQ reason plus
     a Kafka-compaction tombstone, parsed once — every line gets
-    exactly one verdict and the counts partition the input.  Rows-only
-    (input synthesized in Spark); the quarantine/lineage/exactly-once
-    plumbing is tests/test_dlq.py."""
+    exactly one verdict and the counts partition the input.
+    Exact-oracled (SQL_DLQ_AUDIT): the 'ok' count must equal the
+    events-table row count (the parse classified every well-formed
+    envelope as such) and each junk literal its fixed reason.  The
+    quarantine/lineage/exactly-once plumbing is tests/test_dlq.py."""
     from ..sources import debezium
-    from ..sources.generator import changes
 
-    log = changes(spark, 3000, n_conv=40, turns_per_conv=10, partitions=4)
+    log = _events_changelog(spark, sf_dir)
     junk = [
         '{"op":',
         "not json at all",
@@ -673,6 +811,19 @@ def q_dlq_audit(spark, sf_dir):
     )
 
 
+SQL_DLQ_AUDIT = """
+SELECT reason, n FROM (
+  SELECT 'ok' AS reason, CAST(count(*) AS BIGINT) AS n FROM events
+  UNION ALL SELECT 'missing_key',      CAST(1 AS BIGINT)
+  UNION ALL SELECT 'missing_lsn',      CAST(1 AS BIGINT)
+  UNION ALL SELECT 'missing_op',       CAST(1 AS BIGINT)
+  UNION ALL SELECT 'tombstone',        CAST(1 AS BIGINT)
+  UNION ALL SELECT 'unknown_op',       CAST(1 AS BIGINT)
+  UNION ALL SELECT 'unparseable_json', CAST(2 AS BIGINT)
+) t ORDER BY reason
+"""
+
+
 def q_txn_atomic_apply(spark, sf_dir):
     """Transaction-boundary atomic apply (streaming/txn.py): an
     insert-only change log of 40 five-event source transactions, split
@@ -681,9 +832,13 @@ def q_txn_atomic_apply(spark, sf_dir):
     torn transactions, the batch-boundary transaction is held then
     completed by contiguity, a crash-replay of batch 0 is a no-op, and
     the count-less tail transaction stays held until the explicit
-    flush.  Rows-only (engine-internal tables); the streaming
-    transport + counted-tail self-completion is tests/test_txn.py."""
+    flush.  Exact-oracled (SQL_TXN_ATOMIC_APPLY): the 200-event/40-txn
+    log is pure range() arithmetic, so DuckDB derives the ready/held
+    splits and flush sizes from the same arithmetic and pins the
+    engine invariants replay_noop=1 / torn=0.  Streaming transport +
+    counted-tail self-completion is tests/test_txn.py."""
     import os
+    import shutil
 
     from ..plans.table import SnapshotTable
     from ..streaming.txn import apply_txn_batch, flush_pending
@@ -704,38 +859,184 @@ def q_txn_atomic_apply(spark, sf_dir):
         F.lit(None).cast("long").alias("_txn_count"),
     )
     root = tempfile.mkdtemp(prefix="q_txn_")
-    table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=4)
-    pend = os.path.join(root, "pending")
-    cut = 23 * per // 2  # mid-transaction batch boundary (lsn 57, in t11)
-    r0 = apply_txn_batch(table, log.where(F.col("lsn") < cut), 0, pend)
-    v0 = table.current_version()
-    r0b = apply_txn_batch(table, log.where(F.col("lsn") < cut), 0, pend)
-    replay_noop = 1 if (r0 == r0b and table.current_version() == v0) else 0
-    r1 = apply_txn_batch(table, log.where(F.col("lsn") >= cut), 1, pend)
+    try:
+        table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=4)
+        pend = os.path.join(root, "pending")
+        cut = 23 * per // 2  # mid-transaction batch boundary (lsn 57, in t11)
+        r0 = apply_txn_batch(table, log.where(F.col("lsn") < cut), 0, pend)
+        v0 = table.current_version()
+        r0b = apply_txn_batch(table, log.where(F.col("lsn") < cut), 0, pend)
+        replay_noop = 1 if (r0 == r0b and table.current_version() == v0) else 0
+        r1 = apply_txn_batch(table, log.where(F.col("lsn") >= cut), 1, pend)
 
-    torn = 0
-    v = table.current_version()
-    while v > 0:
-        m = table.manifest(v)
-        torn += (
-            table.time_travel(v)
-            .groupBy("conv_id")
-            .count()
-            .where(F.col("count") != per)
-            .count()
-        )
-        v = int(m.get("parent", 0))
-    held_before_flush = table.read().count()
-    flushed = flush_pending(table, pend)
-    return spark.createDataFrame(
-        [(
+        torn = 0
+        v = table.current_version()
+        while v > 0:
+            m = table.manifest(v)
+            torn += (
+                table.time_travel(v)
+                .groupBy("conv_id")
+                .count()
+                .where(F.col("count") != per)
+                .count()
+            )
+            v = int(m.get("parent", 0))
+        held_before_flush = table.read().count()
+        flushed = flush_pending(table, pend)
+        row = (
             r0["ready"], r0["held"], r1["ready"], r1["held"],
             replay_noop, torn,
             held_before_flush, flushed, table.read().count(),
-        )],
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
         "b0_ready long, b0_held long, b1_ready long, b1_held long,"
         " replay_noop int, torn_txn_versions long,"
         " rows_before_flush long, flushed long, rows_after_flush long",
+    )
+
+
+#: The query's 200-event/40-transaction log is ``spark.range``
+#: arithmetic (5 events per txn, batch cut at lsn 57, no event_count
+#: column), so every emitted counter derives in SQL: batch 0 readies
+#: exactly the transactions it fully contains, the boundary txn is
+#: carried then completed by contiguity, and the tail txn (no later
+#: txn ever arrives) stays held until the explicit flush.
+SQL_TXN_ATOMIC_APPLY = """
+WITH log AS (SELECT range AS lsn, range // 5 AS txn FROM range(200)),
+b0 AS (SELECT txn, count(*) AS n FROM log WHERE lsn < 57 GROUP BY txn),
+tail AS (SELECT count(*) AS n FROM log
+         WHERE txn = (SELECT max(txn) FROM log))
+SELECT
+  CAST((SELECT coalesce(sum(n), 0) FROM b0 WHERE n = 5) AS BIGINT)
+    AS b0_ready,
+  CAST((SELECT coalesce(sum(n), 0) FROM b0 WHERE n < 5) AS BIGINT)
+    AS b0_held,
+  CAST((SELECT count(*) FROM log)
+       - (SELECT coalesce(sum(n), 0) FROM b0 WHERE n = 5)
+       - (SELECT n FROM tail) AS BIGINT) AS b1_ready,
+  CAST((SELECT n FROM tail) AS BIGINT) AS b1_held,
+  CAST(1 AS INTEGER) AS replay_noop,
+  CAST(0 AS BIGINT) AS torn_txn_versions,
+  CAST((SELECT count(*) FROM log) - (SELECT n FROM tail) AS BIGINT)
+    AS rows_before_flush,
+  CAST((SELECT n FROM tail) AS BIGINT) AS flushed,
+  CAST((SELECT count(*) FROM log) AS BIGINT) AS rows_after_flush
+"""
+
+
+def q_table_maintenance(spark, sf_dir):
+    """Maintenance planner + bounded tick (B25, plans/table.py
+    ``plan_maintenance``/``run_maintenance``), snapshot export/restore
+    (B26, ``export_snapshot``/``bootstrap_from_export``) and timestamp
+    time travel (B27, ``version_as_of``) through the driver contract —
+    the three §2.B operators that had only local tests through r4
+    (VERDICT r4 item 3).
+
+    Scenario: a MOR table accretes 6 micro-batches (delta depth builds
+    in every bucket, manifests pile up), then ONE maintenance tick
+    plans O(manifest), compacts the two worst buckets, and expires to
+    3 retained snapshots; state must be bit-identical to the pure LWW
+    oracle afterwards.  Timestamp time travel reads as-of a retained
+    mid-history commit's wall clock and must match the prefix oracle.
+    Export then restores into a fresh table with the fence equal to
+    the max ingested lsn, bit-identical state.  Rows-only (engine
+    wall-clock/file-layout internals); exact planted values pinned by
+    tests/test_new_evidence_queries.py::test_table_maintenance_invariants.
+    """
+    import os
+    import shutil
+
+    from ..operators.apply import apply_batch
+    from ..plans.table import SnapshotTable
+    from ..sources.generator import changes, expected_state
+
+    root = tempfile.mkdtemp(prefix="q_maint_")
+    try:
+        table = SnapshotTable(
+            spark, os.path.join(root, "t"), n_buckets=4, mode="mor"
+        )
+        per = 800
+        for i in range(6):
+            apply_batch(
+                table,
+                changes(
+                    spark, per, n_conv=30, turns_per_conv=10,
+                    lsn_start=i * per, partitions=2,
+                ),
+                f"b{i}",
+            )
+        full_log = changes(
+            spark, 6 * per, n_conv=30, turns_per_conv=10, partitions=4
+        )
+        v_mid = table.current_version() - 1  # after batch b4
+        ts_mid = float(table.manifest(v_mid)["committed_wall_ts"])
+
+        def symdiff(a, b):
+            cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+            a, b = a.select(*cols), b.select(*cols)
+            return a.exceptAll(b).count() + b.exceptAll(a).count()
+
+        # B27 first: the as-of read targets mid-history, which the
+        # expiry below legitimately reclaims (Iceberg contract — time
+        # travel is bounded by the retention window).
+        asof_v = table.version_as_of(ts_mid)
+        asof_mm = symdiff(
+            table.read(asof_v),
+            expected_state(changes(
+                spark, 5 * per, n_conv=30, turns_per_conv=10, partitions=4
+            )),
+        )
+
+        plan = table.plan_maintenance(
+            max_files_per_bucket=2, keep_snapshots=1
+        )
+        # keep_snapshots=1: on MOR every retained snapshot references
+        # the whole delta history, so physical reclaim of the
+        # compacted buckets' old files needs the expiry to drop all
+        # pre-compact manifests — exactly the steady-state schedule a
+        # live ingest runs (compact + expire per tick).
+        actions = table.run_maintenance(
+            max_compact_buckets=2, keep_snapshots=1, max_files_per_bucket=2
+        )
+
+        state_mm = symdiff(table.read(), expected_state(full_log))
+
+        exp_dir = os.path.join(root, "export")
+        meta = table.export_snapshot(exp_dir)
+        restored = SnapshotTable(
+            spark, os.path.join(root, "r"), n_buckets=4
+        )
+        restored.bootstrap_from_export(exp_dir, "restore")
+        restore_mm = symdiff(restored.read(), table.read())
+
+        expired = actions["expired"]
+        row = (
+            len(plan["compact_buckets"]),
+            int(plan["expire_candidates"]),
+            len(actions.get("compacted_buckets", [])),
+            int(expired["manifests_deleted"]),
+            1 if expired["files_deleted"] > 0 else 0,
+            1 if expired["bytes_reclaimed"] > 0 else 0,
+            state_mm,
+            1 if asof_v == v_mid else 0,
+            asof_mm,
+            int(meta["fence_lsn"]),
+            restore_mm,
+            restored.read().count(),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "plan_compact_buckets int, plan_expire_candidates int,"
+        " tick_compacted_buckets int, manifests_deleted int,"
+        " files_deleted_positive int, bytes_reclaimed_positive int,"
+        " state_mismatches_after_tick long, asof_version_is_mid int,"
+        " asof_state_mismatches long, export_fence_lsn long,"
+        " restore_mismatches long, restored_rows long",
     )
 
 
@@ -755,6 +1056,7 @@ QUERIES = {
     "multi_table_router": q_multi_table_router,
     "dlq_audit": q_dlq_audit,
     "txn_atomic_apply": q_txn_atomic_apply,
+    "table_maintenance": q_table_maintenance,
 }
 
 ORACLE = {
@@ -762,5 +1064,15 @@ ORACLE = {
     "salted_latest_wins": SQL_LATEST_WINS,
     "delivery_dedup": SQL_DELIVERY_DEDUP,
     "scd2_history": SQL_SCD2_HISTORY,
+    # r5 conversions (VERDICT r4 items 6/7): the evidence-query inputs
+    # now derive from the DuckDB-visible events table (or pure range()
+    # arithmetic), so their counters are exact-oracled; the engine
+    # invariants (replay_noop=1, mismatches=0, torn=0) are pinned as
+    # oracle constants the Spark side must reproduce from real state.
+    "bootstrap_fence": SQL_BOOTSTRAP_FENCE,
+    "multi_table_router": SQL_MULTI_TABLE_ROUTER,
+    "dlq_audit": SQL_DLQ_AUDIT,
+    "txn_atomic_apply": SQL_TXN_ATOMIC_APPLY,
     # cdc_replay_state: rows-only (engine-internal generator + table)
+    # table_maintenance: rows-only (wall-clock/file-layout internals)
 }

@@ -60,6 +60,15 @@ _MODULES = [
 # r3, unchanged), token_stats (driver-green r1 AND r3, unchanged),
 # epoch_shuffle (driver-green r3, unchanged deterministic permutation),
 # fingerprints (driver-green r3, unchanged).
+#
+# Round-5 swap (VERDICT r4 #3): IN — table_maintenance (driver
+# evidence for B25 planner/tick + B26 export/restore + B27 timestamp
+# time travel, the last §2.B operators without a driver row).  OUT —
+# embedding_norms (hash-green r3 AND r4, unchanged JVM fold, oracle
+# retained strict-locally).  Also r5: bootstrap_fence /
+# multi_table_router / dlq_audit / txn_atomic_apply upgraded from
+# rows-only to exact DuckDB oracles (VERDICT r4 #6/#7) — inputs now
+# derive from the events table / pure range() arithmetic.
 LEAD = [
     # dataprep (9; quality_scores + text_normalize + exact_dedup +
     # token_stats + fingerprints → tail in r4)
@@ -70,9 +79,8 @@ LEAD = [
     # dataprep2 (4; epoch_shuffle → tail in r4)
     "sequence_pack", "stratified_sample", "contamination_check",
     "doc_chunks",
-    # similarity (5; cosine_pairs → tail in r4)
+    # similarity (4; cosine_pairs → tail in r4, embedding_norms → r5)
     "knn_brute", "knn_lsh", "knn_ivf", "embedding_dedup",
-    "embedding_norms",
     # multimodal (6)
     "multimodal_features", "frame_sample", "schema_evolution_mapping",
     "image_dedup", "audio_features", "scene_cuts",
@@ -83,14 +91,14 @@ LEAD = [
     # python udfs (4)
     "pandas_udaf_weighted", "grouped_map_zscore", "udtf_bigrams",
     "cogrouped_asof",
-    # cdc (14; delivery_dedup → tail in r4; dedup_index_sync +
+    # cdc (15; delivery_dedup → tail in r4; dedup_index_sync +
     # gdpr_purge + bootstrap_fence + multi_table_router + dlq_audit +
-    # txn_atomic_apply new)
+    # txn_atomic_apply new in r4; table_maintenance new in r5)
     "latest_wins", "salted_latest_wins", "cdc_replay_state",
     "cdc_changelog", "cdc_wap", "cdc_rollup", "scd2_history",
     "stateful_progress", "dedup_index_sync", "gdpr_purge",
     "bootstrap_fence", "multi_table_router", "dlq_audit",
-    "txn_atomic_apply",
+    "txn_atomic_apply", "table_maintenance",
     # relational5 (1): the never-driver-checked VARIANT query
     "variant_extract",
 ]

@@ -46,6 +46,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -184,6 +185,128 @@ def parse_envelope_tagged(df: DataFrame, value_col: str = "value") -> DataFrame:
         reason.alias("dlq_reason"),
         raw.alias("raw_value"),
     )
+
+
+#: Loose envelope decode for drift recovery: row images as
+#: map<string,string> so an upstream column RENAME (which the fixed
+#: _TAGGED_SCHEMA turns into silent NULL fields -> missing_key DLQ)
+#: stays addressable by its new name.
+_LOOSE_SCHEMA = StructType(
+    [
+        StructField(
+            "before", MapType(StringType(), StringType()), True
+        ),
+        StructField("after", MapType(StringType(), StringType()), True),
+        StructField(
+            "source",
+            StructType(
+                [
+                    StructField("lsn", LongType(), True),
+                    StructField("ts_ms", LongType(), True),
+                    StructField("table", StringType(), True),
+                ]
+            ),
+            True,
+        ),
+        StructField("op", StringType(), True),
+        StructField("ts_ms", LongType(), True),
+    ]
+)
+
+
+def recover_drifted(
+    tagged: DataFrame, aligner
+) -> tuple[DataFrame, DataFrame]:
+    """Compose envelope drift with the B7 schema-evolution matcher
+    (VERDICT r4 item 4; operators/evolve.EvolutionAligner).
+
+    An upstream column rename INSIDE the envelope (``conv_id`` →
+    ``conversation``) decodes to NULL key fields under the fixed
+    :data:`_TAGGED_SCHEMA`, so the taxonomy lands it in ``missing_key``
+    — indistinguishable from a genuinely keyless event.  This helper
+    re-examines exactly that DLQ class: the raw line is re-decoded with
+    row images as ``map<string,string>``, rows whose image actually
+    carries data are pivoted to columns over the UNION of observed
+    image keys (missing keys read as NULL) and routed through
+    ``aligner`` (exact-name matches stick; the rest match by value
+    distribution against the live table state, and the decision is
+    ledgered for deterministic replay).  One union pivot — not one per
+    key-set fingerprint — because JSON encoders omit null fields, so a
+    single upstream schema splinters into 2^k key-sets and a
+    per-key-set slice sees degenerate value distributions (a slice
+    where ``tool`` is always present has ``speaker`` constantly
+    ``'tool'``, which no distribution matcher should be asked to map).
+
+    Returns ``(recovered, residual)``: recovered rows in canonical
+    CHANGE_COLS ready for the merge path, and the residual tagged rows
+    (image null/empty — genuinely keyless) that must stay quarantined.
+
+    Scale shape: the loose re-decode touches ONLY the missing_key
+    slice (one extra ``from_json`` over quarantine-bound rows, not the
+    hot path); the key-set collect is bounded by distinct drifted
+    schemas in the batch, not rows.
+    """
+    from ..operators.evolve import apply_mapping
+
+    suspects = tagged.where(F.col("dlq_reason") == "missing_key")
+    loose = F.from_json(F.col("raw_value"), _LOOSE_SCHEMA)
+    img = F.when(loose["op"] == "d", loose["before"]).otherwise(
+        loose["after"]
+    )
+    op = F.lit(None).cast("string")
+    for dbz, ours in _OP_MAP.items():
+        op = F.when(loose["op"] == dbz, F.lit(ours)).otherwise(op)
+    cand = suspects.select(
+        loose["source"]["lsn"].alias("lsn"),
+        op.alias("op"),
+        F.timestamp_millis(
+            F.coalesce(loose["ts_ms"], loose["source"]["ts_ms"])
+        ).alias("ts"),
+        img.alias("_img"),
+        "raw_value",
+    )
+    drifted = cand.where(
+        F.col("_img").isNotNull() & (F.size("_img") > 0)
+    )
+    # union of observed image keys: schema metadata, not data — one
+    # bounded collect per batch, never per-row work.  lsn/op/ts are
+    # envelope-authoritative, so image keys shadowing them are skipped.
+    keys = sorted(
+        r["k"]
+        for r in drifted.select(
+            F.explode(F.map_keys("_img")).alias("k")
+        )
+        .distinct()
+        .collect()
+        if r["k"] not in ("lsn", "op", "ts", "raw_value")
+    )
+    if keys:
+        part = drifted.select(
+            "lsn",
+            "op",
+            "ts",
+            *[F.col("_img").getItem(k).alias(k) for k in keys],
+            "raw_value",
+        )
+        mapping = aligner.mapping_for(part.drop("raw_value"))
+        recovered = apply_mapping(part, mapping, keep=("raw_value",))
+    else:
+        empty = tagged.select(*CHANGE_COLS, "raw_value").schema
+        recovered = tagged.sparkSession.createDataFrame([], empty)
+    # Alignment must not invent keys: rows whose decided mapping still
+    # yields a NULL key (the image had data, none of it key-shaped)
+    # return to the quarantine with everything else un-recovered —
+    # never silently dropped, never merged.
+    good = recovered.where(
+        F.col("conv_id").isNotNull()
+        & F.col("turn_idx").isNotNull()
+        & F.col("lsn").isNotNull()
+        & F.col("op").isNotNull()
+    )
+    residual = tagged.where(F.col("dlq_reason").isNotNull()).join(
+        good.select("raw_value"), "raw_value", "left_anti"
+    )
+    return good.select(*CHANGE_COLS), residual
 
 
 def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:

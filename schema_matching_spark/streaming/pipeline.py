@@ -52,6 +52,7 @@ def start_cdc_stream(
     keep_snapshots: int = 5,
     source_format: str = "parquet",
     dlq_dir: str | None = None,
+    drift_aligner=None,
 ) -> StreamingQuery:
     """Start the CDC apply stream.  ``available_now=True`` runs a bounded
     catch-up pass (processes everything currently in the WAL, then
@@ -91,8 +92,21 @@ def start_cdc_stream(
     so cross-batch redelivery dedup falls to the merge's lsn-LWW
     instead of dropDuplicatesWithinWatermark — same final state, the
     in-stream dedup is a cost optimization, not a correctness layer.
+
+    ``drift_aligner`` (requires ``dlq_dir``): an
+    ``operators/evolve.EvolutionAligner`` — before quarantining, the
+    batch's ``missing_key`` slice is re-examined by
+    ``sources/debezium.recover_drifted``: upstream column renames
+    INSIDE the envelope (which the fixed decode schema turns into NULL
+    key fields) are re-decoded loosely, value-matched to the live
+    table schema, and merged; the decided mapping is ledgered so a
+    crash-replayed micro-batch recovers identically.  Genuinely
+    keyless rows still quarantine, and the lineage entry records
+    ``recovered_drift`` alongside the per-reason residual counts.
     """
     dlq_split = None
+    if drift_aligner is not None and dlq_dir is None:
+        raise ValueError("drift_aligner requires dlq_dir")
     if dlq_dir is not None:
         if source_format != "debezium":
             raise ValueError("dlq_dir requires source_format='debezium'")
@@ -115,10 +129,11 @@ def start_cdc_stream(
 
         from ..schemas import CHANGE_COLS
 
-        tagged = None
+        persisted = []
         dlq_counts: dict[str, int] = {}
         if dlq_split is not None:
             tagged = dlq_split(batch_df).persist()
+            persisted.append(tagged)
             bad = tagged.where(F.col("dlq_reason").isNotNull())
             dlq_counts = {
                 r["dlq_reason"]: r["n"]
@@ -126,16 +141,31 @@ def start_cdc_stream(
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()  # bounded: ≤ len(DLQ_REASONS) rows
             }
+            good = tagged.where(F.col("dlq_reason").isNull()).select(
+                *CHANGE_COLS
+            )
+            if drift_aligner is not None and dlq_counts.get("missing_key"):
+                from ..sources.debezium import recover_drifted
+
+                recovered, bad = recover_drifted(tagged, drift_aligner)
+                recovered = recovered.persist()
+                persisted.append(recovered)
+                n_rec = recovered.count()
+                if n_rec:
+                    dlq_counts["recovered_drift"] = n_rec
+                    dlq_counts["missing_key"] -= n_rec
+                    if not dlq_counts["missing_key"]:
+                        del dlq_counts["missing_key"]
+                    good = good.unionByName(recovered)
             quarantine = bad.where(F.col("dlq_reason") != "tombstone")
-            if any(k != "tombstone" for k in dlq_counts):
+            if any(
+                k not in ("tombstone", "recovered_drift")
+                for k in dlq_counts
+            ):
                 quarantine.select("raw_value", "dlq_reason").write.mode(
                     "overwrite"
                 ).parquet(os.path.join(dlq_dir, f"batch_id={batch_id}"))
-            batch_df = (
-                tagged.where(F.col("dlq_reason").isNull())
-                .select(*CHANGE_COLS)
-                .dropDuplicates(["lsn", "conv_id", "turn_idx"])
-            )
+            batch_df = good.dropDuplicates(["lsn", "conv_id", "turn_idx"])
         if evolver is not None:
             batch_df = evolver(batch_df)
         obs = Observation()
@@ -173,8 +203,8 @@ def start_cdc_stream(
                 observed, batch_id, n_salts=n_salts, extra_lineage=lineage
             )
         finally:
-            if tagged is not None:
-                tagged.unpersist()
+            for df in persisted:
+                df.unpersist()
         if maintenance_every:
             applied_since_maintenance["n"] += 1
             if applied_since_maintenance["n"] >= maintenance_every:

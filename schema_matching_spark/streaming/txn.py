@@ -199,7 +199,18 @@ def start_txn_cdc_stream(
     no snapshot the table ever commits contains a partial source
     transaction (tests/test_txn.py pins this per-version).  Malformed
     lines are dropped by the parse (compose with start_cdc_stream's
-    dlq_dir against the same WAL for quarantine)."""
+    dlq_dir against the same WAL for quarantine).
+
+    Stock-Debezium caveat: a standard connector's per-event
+    ``transaction`` block carries id/total_order/data_collection_order
+    — ``event_count`` is only published on the transaction-metadata
+    topic's END marker.  Against such a source the count gate never
+    fires and the sink degrades (safely) to the CONTIGUITY rule: each
+    transaction is held until the first event of a LATER transaction
+    arrives, so the tail transaction waits one transaction's latency
+    (or an explicit flush_pending at end-of-stream).  Feed the END
+    markers in as ``_txn_count`` (join or enrich upstream) to release
+    each transaction the moment it is complete instead."""
     from ..sources.debezium import parse_envelope_tagged, read_raw_stream
 
     raw = read_raw_stream(spark, wal_dir, max_files_per_trigger)

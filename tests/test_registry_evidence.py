@@ -34,10 +34,11 @@ ROWS_ONLY_WITH_LOCAL_TEST = {
     "table_changes_source": "tests/test_table_changes_source.py (parity with changes_between + resume)",
     "dedup_index_sync": "tests/test_dedup_index.py (index == batch signatures across sync/update/delete/resume)",
     "gdpr_purge": "tests/test_purge.py (erasure vs pure LWW oracle, exactly-once, stale-redelivery guard, changelog pre-images, physical reclaim)",
-    "bootstrap_fence": "tests/test_bootstrap.py + tests/test_new_evidence_queries.py (snapshot+fence+overlap == full replay, deleted-key guard)",
-    "multi_table_router": "tests/test_router.py + tests/test_new_evidence_queries.py (per-table LWW equality, exactly-once, crash consistency)",
-    "dlq_audit": "tests/test_dlq.py + tests/test_new_evidence_queries.py (taxonomy exact, counts partition the input)",
-    "txn_atomic_apply": "tests/test_txn.py + tests/test_new_evidence_queries.py (no torn txn in any version, crash-replay no-op, ledgered flush)",
+    # bootstrap_fence / multi_table_router / dlq_audit /
+    # txn_atomic_apply: gained exact DuckDB oracles in r5 (inputs
+    # rebased onto the events table / range() arithmetic — VERDICT r4
+    # items 6/7); no longer rows-only.
+    "table_maintenance": "tests/test_new_evidence_queries.py::test_table_maintenance_invariants (planner counts, tick idempotence, as-of prefix equality, export/restore round trip)",
     "stateful_progress": "tests/test_rows_only_oracles.py::test_stateful_progress_values_match_pure_sql",
     "minhash_lsh_dedup": "tests/test_dataprep.py (planted near-dup recall)",
     "simhash_dedup": "tests/test_dataprep.py (planted near-dup recall)",
