@@ -1005,11 +1005,29 @@ class SnapshotTable:
             "_bucket", bucket_expr(self.n_buckets)
         ).repartition(F.col("_bucket"))
         w = Window.partitionBy("_bucket", *KEY_COLS).orderBy(*winner_order())
-        return (
+        out = (
             bucketed.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
+        # Tombstone payload scrub: a stored D winner only needs
+        # (key, lsn, op, ts) to keep guarding its key — but upstream
+        # delete events often CARRY the deleted row (Debezium deletes
+        # ship a full before-image), and without this, that payload
+        # would sit in the table's files for the tombstone's whole
+        # retention life (a GDPR leak and dead storage bytes; caught by
+        # gdpr_purge's payload_leftover_rows counter when the log's D
+        # events carried text).  Changelog delete pre-images are
+        # unaffected — changes_between(images=True) reads them from the
+        # FROM-side snapshot, never from the tombstone row.  A plain
+        # Project over the window output: same stage, no new exchange,
+        # writer-sort elision intact (pinned by tests/test_plans.py).
+        dead = F.col("op") == "D"
+        for c in ("role", "text", "tool"):
+            out = out.withColumn(
+                c, F.when(dead, F.lit(None).cast("string")).otherwise(F.col(c))
+            )
+        return out
 
     def _write_commit_files(self, df: DataFrame, cluster: bool = False) -> list[dict]:
         """Write ``df`` (FILE_COLS + _bucket) bucket-partitioned; return

@@ -159,123 +159,268 @@ ORDER BY event_type
 """
 
 
+def _events_changelog(spark, sf_dir):
+    """Deterministic change log derived from the DuckDB-visible
+    ``events`` parquet table — the derivation is expressed IDENTICALLY
+    in the oracle SQL CTE ``SQL_EVENTS_LOG``, which is what lets the
+    bootstrap/router/DLQ evidence queries carry exact rows+schema+hash
+    oracles instead of rows-only rows (VERDICT r4 items 6/7): lsn =
+    event_id (contiguous, unique), op by the generator's 14/5/1 I/U/D
+    bucket rule on event_id, key = (user_id, event_id % 25)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 20
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(m < 14, F.lit("I"))
+        .when(m < 19, F.lit("U"))
+        .otherwise(F.lit("D"))
+        .alias("op"),
+        F.col("ts"),
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias(
+            "conv_id"
+        ),
+        (F.col("event_id") % 25).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+    )
+
+
+#: DuckDB twin of _events_changelog.
+SQL_EVENTS_LOG = """
+log AS (
+  SELECT event_id AS lsn,
+         CASE WHEN event_id % 20 < 14 THEN 'I'
+              WHEN event_id % 20 < 19 THEN 'U'
+              ELSE 'D' END AS op,
+         ts,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         event_type AS role, props AS text,
+         CAST(NULL AS VARCHAR) AS tool
+  FROM events
+)
+"""
+
+
 def q_cdc_replay_state(spark, sf_dir):
-    """Flagship end-to-end (rows-only check: generator not expressible in
-    SQL over the oracle views): deterministic 20k-event log → dedup →
-    salted collapse → exactly-once merge into a snapshot table → final
-    state aggregate."""
+    """Flagship end-to-end: change log → dup delivery → dedup → salted
+    collapse → exactly-once merge into a snapshot table → final state
+    aggregate.  Exact-oracled since r5 (SQL_CDC_REPLAY_STATE): the log
+    derives from the events table (_events_changelog), so DuckDB
+    computes the LWW final state from the same parquet; the redelivered
+    every-10th-lsn duplicates must be invisible in it."""
+    import shutil
+
     from ..operators.apply import replay
     from ..plans.table import SnapshotTable
-    from ..sources.generator import changes, with_dup_delivery
+    from ..sources.generator import with_dup_delivery
 
-    log = with_dup_delivery(changes(spark, 20000, n_conv=100, turns_per_conv=30))
-    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="cdc_entry_"), n_buckets=8)
-    replay(table, log)
-    state = table.read()
-    return (
-        state.groupBy("role")
-        .agg(
-            F.count("*").alias("n_turns"),
-            F.countDistinct("conv_id").alias("n_convs"),
-            F.max("turn_idx").alias("max_turn"),
+    log = with_dup_delivery(_events_changelog(spark, sf_dir))
+    root = tempfile.mkdtemp(prefix="cdc_entry_")
+    try:
+        table = SnapshotTable(spark, root, n_buckets=8)
+        replay(table, log)
+        rows = (
+            table.read()
+            .groupBy("role")
+            .agg(
+                F.count("*").alias("n_turns"),
+                F.countDistinct("conv_id").alias("n_convs"),
+                F.max("turn_idx").alias("max_turn"),
+            )
+            .orderBy("role")
+            .collect()
         )
-        .orderBy("role")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "role string, n_turns long, n_convs long, max_turn int",
     )
+
+
+#: LWW final state of the events-derived log, shared by the r5
+#: conversions: winner per (conv_id, turn_idx) by max lsn, deletes
+#: drop the key.
+SQL_STATE = """
+state AS (
+  SELECT conv_id, turn_idx,
+         arg_max(op, lsn)   AS op,
+         arg_max(role, lsn) AS role,
+         arg_max(text, lsn) AS text,
+         arg_max(tool, lsn) AS tool,
+         arg_max(ts, lsn)   AS ts,
+         max(lsn)           AS lsn
+  FROM log GROUP BY conv_id, turn_idx
+)
+"""
+
+
+SQL_CDC_REPLAY_STATE = f"""
+WITH {SQL_EVENTS_LOG},
+{SQL_STATE}
+SELECT role,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       max(turn_idx) AS max_turn
+FROM state WHERE op <> 'D'
+GROUP BY role ORDER BY role
+"""
 
 
 def q_cdc_changelog(spark, sf_dir):
     """Incremental/changelog read (plans/table.py changes_between —
     Iceberg changelog-scan parity): build a snapshot table from the
-    deterministic generator, merge a second batch, then read the net
-    change feed between the two snapshots and aggregate it.  Rows-only
-    (engine-internal table + generator); exact value evidence:
-    tests/test_changelog.py (pure-Python LWW diff + DuckDB SQL mirror,
-    COW and MOR, multi-commit spans)."""
+    first half of the events-derived log, merge the second half, then
+    read the net change feed between the two snapshots and aggregate
+    it.  Exact-oracled since r5 (SQL_CDC_CHANGELOG — the LWW-diff
+    classification from tests/test_changelog.py's mirror, over the same
+    parquet); COW/MOR/multi-commit-span value evidence stays in
+    tests/test_changelog.py."""
     import os
+    import shutil
 
     from ..operators.apply import apply_batch
     from ..plans.table import SnapshotTable
-    from ..sources.generator import changes
 
+    log = _events_changelog(spark, sf_dir)
+    cut = log.count() // 2
     root = tempfile.mkdtemp(prefix="q_changelog_")
-    table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=8)
-    apply_batch(
-        table, changes(spark, 4000, n_conv=40, turns_per_conv=12, partitions=4), "b1"
-    )
-    v1 = table.current_version()
-    apply_batch(
-        table,
-        changes(
-            spark, 1500, n_conv=40, turns_per_conv=12, lsn_start=4000, partitions=4
-        ),
-        "b2",
-    )
-    return (
-        table.changes_between(v1)
-        .groupBy("change_type")
-        .agg(
-            F.count("*").alias("n_changes"),
-            F.countDistinct("conv_id").alias("n_convs"),
-            F.min("lsn").alias("min_lsn"),
-            F.max("lsn").alias("max_lsn"),
+    try:
+        table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=8)
+        apply_batch(table, log.where(F.col("lsn") < cut), "b1")
+        v1 = table.current_version()
+        apply_batch(table, log.where(F.col("lsn") >= cut), "b2")
+        rows = (
+            table.changes_between(v1)
+            .groupBy("change_type")
+            .agg(
+                F.count("*").alias("n_changes"),
+                F.countDistinct("conv_id").alias("n_convs"),
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+            )
+            .orderBy("change_type")
+            .collect()
         )
-        .orderBy("change_type")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "change_type string, n_changes long, n_convs long,"
+        " min_lsn long, max_lsn long",
     )
+
+
+SQL_CDC_CHANGELOG = f"""
+WITH {SQL_EVENTS_LOG},
+f AS (SELECT count(*) // 2 AS cut FROM log),
+s1 AS (
+  SELECT conv_id, turn_idx, arg_max(op, lsn) AS op, max(lsn) AS lsn
+  FROM log WHERE lsn < (SELECT cut FROM f) GROUP BY 1, 2
+),
+s2 AS (
+  SELECT conv_id, turn_idx, arg_max(op, lsn) AS op, max(lsn) AS lsn
+  FROM log GROUP BY 1, 2
+),
+diff AS (
+  SELECT s2.conv_id, s2.turn_idx, s2.op AS op2, s2.lsn AS lsn2,
+         s1.op AS op1, s1.lsn AS lsn1
+  FROM s2 LEFT JOIN s1 USING (conv_id, turn_idx)
+  WHERE s1.lsn IS NULL OR s2.lsn > s1.lsn
+)
+SELECT CASE
+         WHEN op2 = 'D' THEN 'delete'
+         WHEN op1 IS NOT NULL AND op1 <> 'D' THEN 'update'
+         ELSE 'insert'
+       END AS change_type,
+       CAST(count(*) AS BIGINT) AS n_changes,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(min(lsn2) AS BIGINT) AS min_lsn,
+       CAST(max(lsn2) AS BIGINT) AS max_lsn
+FROM diff
+WHERE op2 <> 'D' OR (op1 IS NOT NULL AND op1 <> 'D')
+GROUP BY 1 ORDER BY 1
+"""
 
 
 def q_cdc_wap(spark, sf_dir):
     """Write-audit-publish through branch refs (plans/table.py B13,
     Iceberg WAP parity): merge a batch on a STAGING branch, audit the
     staged state while main is untouched, fast-forward-publish, and
-    report each phase's state aggregate.  Rows-only (engine-internal
-    generator + table); branch isolation, publish atomicity, ledger
-    carry-over, and GC of dropped branches are pinned in
-    tests/test_refs.py."""
+    report each phase's state aggregate.  Exact-oracled since r5
+    (SQL_CDC_WAP — each phase is the LWW state of an lsn prefix of the
+    events-derived log, so branch isolation shows up as staged_main ==
+    the pre-branch prefix while staged_branch == published == the full
+    log); branch isolation, publish atomicity, ledger carry-over, and
+    GC of dropped branches are pinned in tests/test_refs.py."""
     import os
+    import shutil
 
     from ..operators.apply import apply_batch
     from ..plans.table import SnapshotTable
-    from ..sources.generator import changes
 
+    log = _events_changelog(spark, sf_dir)
+    cut = log.count() // 2
     root = tempfile.mkdtemp(prefix="q_wap_")
-    table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=8)
-    apply_batch(
-        table, changes(spark, 4000, n_conv=40, turns_per_conv=12, partitions=4), "b1"
-    )
-    table.create_branch("staging")
-    staging = table.branch("staging")
-    apply_batch(
-        staging,
-        changes(
-            spark, 1500, n_conv=40, turns_per_conv=12, lsn_start=4000, partitions=4
-        ),
-        "b2",
-    )
+    try:
+        table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=8)
+        apply_batch(table, log.where(F.col("lsn") < cut), "b1")
+        table.create_branch("staging")
+        staging = table.branch("staging")
+        apply_batch(staging, log.where(F.col("lsn") >= cut), "b2")
 
-    def snap(phase, handle):
-        # read() resolves the manifest eagerly, so each phase's file
-        # list is pinned here even though the DataFrame is lazy
-        return (
-            handle.read()
-            .groupBy()
-            .agg(
-                F.count("*").alias("n_turns"),
-                F.countDistinct("conv_id").alias("n_convs"),
-                F.max("ts").alias("max_ts"),
+        def snap(phase, handle):
+            r = (
+                handle.read()
+                .agg(
+                    F.count("*").alias("n_turns"),
+                    F.countDistinct("conv_id").alias("n_convs"),
+                    F.max("ts").alias("max_ts"),
+                )
+                .collect()[0]
             )
-            .withColumn("phase", F.lit(phase))
-            .select("phase", "n_turns", "n_convs", "max_ts")
-        )
+            return (phase, r["n_turns"], r["n_convs"], r["max_ts"])
 
-    staged_main = snap("staged_main", table)
-    staged_branch = snap("staged_branch", staging)
-    table.fast_forward("staging")
-    published = snap("published_main", table)
-    return (
-        staged_main.unionByName(staged_branch)
-        .unionByName(published)
-        .orderBy("phase")
+        rows = [snap("staged_main", table), snap("staged_branch", staging)]
+        table.fast_forward("staging")
+        rows.append(snap("published_main", table))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "phase string, n_turns long, n_convs long, max_ts timestamp",
     )
+
+
+SQL_CDC_WAP = f"""
+WITH {SQL_EVENTS_LOG},
+f AS (SELECT count(*) // 2 AS cut FROM log),
+pre AS (
+  SELECT conv_id, arg_max(op, lsn) AS op, arg_max(ts, lsn) AS ts
+  FROM log WHERE lsn < (SELECT cut FROM f) GROUP BY conv_id, turn_idx
+),
+fin AS (
+  SELECT conv_id, arg_max(op, lsn) AS op, arg_max(ts, lsn) AS ts
+  FROM log GROUP BY conv_id, turn_idx
+),
+phases AS (
+  SELECT 'staged_main' AS phase,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+         max(ts) AS max_ts
+  FROM pre WHERE op <> 'D'
+  UNION ALL
+  SELECT ph,
+         CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT conv_id) AS BIGINT),
+         max(ts)
+  FROM fin, (VALUES ('staged_branch'), ('published_main')) v(ph)
+  WHERE op <> 'D' GROUP BY ph
+)
+SELECT phase, n_turns, n_convs, max_ts FROM phases ORDER BY phase
+"""
 
 
 def q_cdc_rollup(spark, sf_dir):
@@ -284,45 +429,92 @@ def q_cdc_rollup(spark, sf_dir):
     per-conversation rollup VIEW maintained incrementally from the
     change feed by group-recompute (touched buckets only), then a
     second upstream batch and a second catch-up.  Returns an aggregate
-    over the maintained gold rows.  Rows-only (engine-internal
-    generator + tables); exact value evidence:
-    tests/test_gold_rollup.py pins gold == expected_rollup(bronze)
-    across initial sync, increments, deletes, and resume."""
+    over the maintained gold rows.  Exact-oracled since r5
+    (SQL_CDC_ROLLUP: the gold sums are pure functions of the bronze LWW
+    state, which DuckDB derives from the same events parquet; role is
+    remapped onto the rollup vocabulary by an lsn rule mirrored in
+    SQL).  Incremental-maintenance value evidence stays in
+    tests/test_gold_rollup.py (gold == expected_rollup(bronze) across
+    initial sync, increments, deletes, and resume)."""
     import os
+    import shutil
 
     from ..operators.apply import apply_batch
     from ..plans.table import SnapshotTable
-    from ..sources.generator import changes
     from ..streaming.derived import ROLLUP_STATS, rollup_events
 
+    m = F.col("lsn") % 10
+    log = _events_changelog(spark, sf_dir).withColumn(
+        "role",
+        F.when(m < 4, F.lit("user"))
+        .when(m < 7, F.lit("assistant"))
+        .when(m < 9, F.lit("tool"))
+        .otherwise(F.lit("system")),
+    )
+    cut = log.count() // 2
     root = tempfile.mkdtemp(prefix="q_rollup_")
-    bronze = SnapshotTable(spark, os.path.join(root, "b"), n_buckets=8)
-    gold = SnapshotTable(spark, os.path.join(root, "g"), n_buckets=4)
-    v = 0
-    for i, (n, lsn0) in enumerate([(4000, 0), (1500, 4000)]):
-        apply_batch(
-            bronze,
-            changes(
-                spark, n, n_conv=40, turns_per_conv=12, lsn_start=lsn0,
-                partitions=4,
-            ),
-            f"b{i}",
+    try:
+        bronze = SnapshotTable(spark, os.path.join(root, "b"), n_buckets=8)
+        gold = SnapshotTable(spark, os.path.join(root, "g"), n_buckets=4)
+        v = 0
+        for i, part in enumerate(
+            [log.where(F.col("lsn") < cut), log.where(F.col("lsn") >= cut)]
+        ):
+            apply_batch(bronze, part, f"b{i}")
+            feed = bronze.changes_between(v)
+            v = bronze.current_version()
+            gold.merge_apply(rollup_events(feed, bronze), f"g{i}")
+        stats_schema = ", ".join(f"{s} long" for s in ROLLUP_STATS)
+        parsed = gold.read().select(
+            "conv_id", F.from_json("text", stats_schema).alias("s")
         )
-        feed = bronze.changes_between(v)
-        v = bronze.current_version()
-        gold.merge_apply(rollup_events(feed, bronze), f"g{i}")
-    stats_schema = ", ".join(f"{s} long" for s in ROLLUP_STATS)
-    parsed = gold.read().select(
-        "conv_id", F.from_json("text", stats_schema).alias("s")
+        row = parsed.agg(
+            F.count("*").alias("n_convs"),
+            F.sum("s.n_turns").alias("total_turns"),
+            F.sum("s.n_user").alias("total_user"),
+            F.sum("s.n_assistant").alias("total_assistant"),
+            F.sum("s.n_tool").alias("total_tool"),
+            F.sum("s.total_chars").alias("total_chars"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(row)],
+        "n_convs long, total_turns long, total_user long,"
+        " total_assistant long, total_tool long, total_chars long",
     )
-    return parsed.groupBy().agg(
-        F.count("*").alias("n_convs"),
-        F.sum("s.n_turns").alias("total_turns"),
-        F.sum("s.n_user").alias("total_user"),
-        F.sum("s.n_assistant").alias("total_assistant"),
-        F.sum("s.n_tool").alias("total_tool"),
-        F.sum("s.total_chars").alias("total_chars"),
-    )
+
+
+SQL_CDC_ROLLUP = f"""
+WITH {SQL_EVENTS_LOG},
+rlog AS (
+  SELECT lsn, op, conv_id, turn_idx, text,
+         CASE WHEN lsn % 10 < 4 THEN 'user'
+              WHEN lsn % 10 < 7 THEN 'assistant'
+              WHEN lsn % 10 < 9 THEN 'tool'
+              ELSE 'system' END AS role
+  FROM log
+),
+state AS (
+  SELECT conv_id, turn_idx,
+         arg_max(op, lsn) AS op,
+         arg_max(role, lsn) AS role,
+         arg_max(text, lsn) AS text
+  FROM rlog GROUP BY conv_id, turn_idx
+),
+live AS (SELECT * FROM state WHERE op <> 'D')
+SELECT
+  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+  CAST(count(*) AS BIGINT) AS total_turns,
+  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+    AS total_user,
+  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+    AS total_assistant,
+  CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+    AS total_tool,
+  CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars
+FROM live
+"""
 
 
 def q_scd2_history(spark, sf_dir):
@@ -475,21 +667,26 @@ def q_gdpr_purge(spark, sf_dir):
     the pure LWW oracle, the changelog carrying one pre-imaged delete
     per erased row (downstream hops retract through their normal feed),
     and zero payload bytes left in the current snapshot's files.
-    Rows-only (engine-internal table); the full matrix incl. MOR,
-    exactly-once replay, resurrection-by-new-event, and physical
-    file reclaim is tests/test_purge.py."""
+    Exact-oracled since r5 (SQL_GDPR_PURGE): the log derives from the
+    events table, so victim_rows_before / changelog_deletes are the
+    victims' LWW live-row count in DuckDB and the erasure invariants
+    (victims_after=0, mismatches=0, missing_preimage=0, leftover=0)
+    are pinned constants the engine must reproduce from real state.
+    The full matrix incl. MOR, exactly-once replay,
+    resurrection-by-new-event, and physical file reclaim is
+    tests/test_purge.py."""
     import os
 
     from ..operators.apply import apply_batch
     from ..plans.table import SnapshotTable
-    from ..sources.generator import changes, expected_state
+    from ..sources.generator import expected_state
 
     import shutil
 
     root = tempfile.mkdtemp(prefix="q_gdpr_")
     try:
         table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=8)
-        log = changes(spark, 5000, n_conv=40, turns_per_conv=10, partitions=4)
+        log = _events_changelog(spark, sf_dir)
         apply_batch(table, log, "b1")
         victims = [
             r["conv_id"]
@@ -545,47 +742,25 @@ def q_gdpr_purge(spark, sf_dir):
     )
 
 
-def _events_changelog(spark, sf_dir):
-    """Deterministic change log derived from the DuckDB-visible
-    ``events`` parquet table — the derivation is expressed IDENTICALLY
-    in the oracle SQL CTE ``SQL_EVENTS_LOG``, which is what lets the
-    bootstrap/router/DLQ evidence queries carry exact rows+schema+hash
-    oracles instead of rows-only rows (VERDICT r4 items 6/7): lsn =
-    event_id (contiguous, unique), op by the generator's 14/5/1 I/U/D
-    bucket rule on event_id, key = (user_id, event_id % 25)."""
-    ev = _t(spark, sf_dir, "events")
-    m = F.col("event_id") % 20
-    return ev.select(
-        F.col("event_id").alias("lsn"),
-        F.when(m < 14, F.lit("I"))
-        .when(m < 19, F.lit("U"))
-        .otherwise(F.lit("D"))
-        .alias("op"),
-        F.col("ts"),
-        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias(
-            "conv_id"
-        ),
-        (F.col("event_id") % 25).cast("int").alias("turn_idx"),
-        F.col("event_type").alias("role"),
-        F.col("props").alias("text"),
-        F.lit(None).cast("string").alias("tool"),
-    )
-
-
-#: DuckDB twin of _events_changelog (ts omitted — no emitted counter
-#: depends on event time).
-SQL_EVENTS_LOG = """
-log AS (
-  SELECT event_id AS lsn,
-         CASE WHEN event_id % 20 < 14 THEN 'I'
-              WHEN event_id % 20 < 19 THEN 'U'
-              ELSE 'D' END AS op,
-         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
-         CAST(event_id % 25 AS INTEGER) AS turn_idx,
-         event_type AS role, props AS text,
-         CAST(NULL AS VARCHAR) AS tool
-  FROM events
+SQL_GDPR_PURGE = f"""
+WITH {SQL_EVENTS_LOG},
+{SQL_STATE},
+victims AS (
+  SELECT conv_id FROM (SELECT DISTINCT conv_id FROM log)
+  ORDER BY conv_id LIMIT 3
+),
+vb AS (
+  SELECT count(*) AS n FROM state
+  WHERE op <> 'D' AND conv_id IN (SELECT conv_id FROM victims)
 )
+SELECT
+  CAST(3 AS INTEGER) AS purged_convs,
+  CAST((SELECT n FROM vb) AS BIGINT) AS victim_rows_before,
+  CAST(0 AS BIGINT) AS victim_rows_after,
+  CAST(0 AS BIGINT) AS survivor_mismatches,
+  CAST((SELECT n FROM vb) AS BIGINT) AS changelog_deletes,
+  CAST(0 AS BIGINT) AS deletes_missing_preimage,
+  CAST(0 AS BIGINT) AS payload_leftover_rows
 """
 
 
@@ -1073,6 +1248,13 @@ ORACLE = {
     "multi_table_router": SQL_MULTI_TABLE_ROUTER,
     "dlq_audit": SQL_DLQ_AUDIT,
     "txn_atomic_apply": SQL_TXN_ATOMIC_APPLY,
-    # cdc_replay_state: rows-only (engine-internal generator + table)
+    # second r5 wave: the LWW state of the events-derived log is
+    # SQL-expressible, so the remaining state-shaped evidence queries
+    # carry exact oracles too.
+    "cdc_replay_state": SQL_CDC_REPLAY_STATE,
+    "cdc_changelog": SQL_CDC_CHANGELOG,
+    "cdc_wap": SQL_CDC_WAP,
+    "cdc_rollup": SQL_CDC_ROLLUP,
+    "gdpr_purge": SQL_GDPR_PURGE,
     # table_maintenance: rows-only (wall-clock/file-layout internals)
 }

@@ -27,17 +27,14 @@ _TOLERANCE_SF_DIR = os.environ.get(
 # that provides their correctness evidence instead.
 ROWS_ONLY_WITH_LOCAL_TEST = {
     "approx_distinct": "tests/test_registry_evidence.py::test_approx_distinct_tolerance",
-    "cdc_replay_state": "tests/test_rows_only_oracles.py::test_cdc_replay_state_values_match_pure_sql",
-    "cdc_changelog": "tests/test_changelog.py (python LWW diff + DuckDB mirror)",
-    "cdc_wap": "tests/test_refs.py (branch isolation, publish, GC, streaming WAP)",
-    "cdc_rollup": "tests/test_gold_rollup.py (gold == expected_rollup across sync/increment/delete/resume)",
     "table_changes_source": "tests/test_table_changes_source.py (parity with changes_between + resume)",
     "dedup_index_sync": "tests/test_dedup_index.py (index == batch signatures across sync/update/delete/resume)",
-    "gdpr_purge": "tests/test_purge.py (erasure vs pure LWW oracle, exactly-once, stale-redelivery guard, changelog pre-images, physical reclaim)",
     # bootstrap_fence / multi_table_router / dlq_audit /
-    # txn_atomic_apply: gained exact DuckDB oracles in r5 (inputs
-    # rebased onto the events table / range() arithmetic — VERDICT r4
-    # items 6/7); no longer rows-only.
+    # txn_atomic_apply (r5 wave 1) and cdc_replay_state /
+    # cdc_changelog / cdc_wap / cdc_rollup / gdpr_purge (r5 wave 2):
+    # gained exact DuckDB oracles (inputs rebased onto the events
+    # table / range() arithmetic — VERDICT r4 items 6/7); no longer
+    # rows-only.
     "table_maintenance": "tests/test_new_evidence_queries.py::test_table_maintenance_invariants (planner counts, tick idempotence, as-of prefix equality, export/restore round trip)",
     "stateful_progress": "tests/test_rows_only_oracles.py::test_stateful_progress_values_match_pure_sql",
     "minhash_lsh_dedup": "tests/test_dataprep.py (planted near-dup recall)",

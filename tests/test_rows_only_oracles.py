@@ -22,9 +22,11 @@ def _duck_on(log_path):
 
 
 def test_cdc_replay_state_values_match_pure_sql(spark, tmp_path):
-    # identical construction to q_cdc_replay_state (generator is
-    # deterministic: same args -> same rows)
-    log = with_dup_delivery(changes(spark, 20000, n_conv=100, turns_per_conv=30))
+    # identical construction to q_cdc_replay_state (since r5 the input
+    # is the events-derived change log, so this doubles as a local
+    # mirror of the driver's exact oracle) — plus the dup delivery the
+    # SQL must see collapsed
+    log = with_dup_delivery(cdc._events_changelog(spark, SF_DIR))
     log_path = str(tmp_path / "log")
     log.write.parquet(log_path)
 
