@@ -22,40 +22,54 @@ def q_stateful_progress(spark, sf_dir):
     """Custom stateful streaming operator through the driver contract:
     per-conversation running totals via applyInPandasWithState across
     micro-batches (maxFilesPerTrigger=1), drained with availableNow.
-    Rows-only (input is the deterministic generated change log);
-    cross-batch accumulation vs batch ground truth is asserted in
+    Exact-oracled since r5 (SQL_STATEFUL_PROGRESS): the stream's input
+    is the events-derived change log, and the tracker's final
+    per-conversation maxima equal plain per-conversation aggregates
+    over that log, which DuckDB computes from the same parquet.
+    Cross-batch accumulation vs batch ground truth is also asserted in
     tests/test_stateful.py."""
     import os
+    import shutil
 
     from pyspark.sql import functions as F2
 
-    from ..sources.generator import changes
     from ..sources.wal import read_stream, write_segments
     from ..streaming.stateful import conversation_progress
 
     root = tempfile.mkdtemp(prefix="q_stateful_")
-    log = changes(spark, 3000, n_conv=20, turns_per_conv=10, partitions=4)
-    write_segments(log, os.path.join(root, "wal"), 3)
-    sink = f"q_stateful_progress_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        conversation_progress(read_stream(spark, os.path.join(root, "wal"), 1))
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    emitted = spark.table(sink)
-    return (
-        emitted.groupBy("conv_id")
-        .agg(
-            F2.max("n_events").alias("n_events"),
-            F2.max("n_deletes").alias("n_deletes"),
-            F2.max("max_lsn").alias("max_lsn"),
-            F2.max("n_turns_touched").alias("n_turns_touched"),
+    try:
+        log = _events_changelog(spark, sf_dir)
+        write_segments(log, os.path.join(root, "wal"), 3)
+        sink = f"q_stateful_progress_sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            conversation_progress(
+                read_stream(spark, os.path.join(root, "wal"), 1)
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
         )
-        .orderBy("conv_id")
+        q.awaitTermination()
+        rows = (
+            spark.table(sink)
+            .groupBy("conv_id")
+            .agg(
+                F2.max("n_events").alias("n_events"),
+                F2.max("n_deletes").alias("n_deletes"),
+                F2.max("max_lsn").alias("max_lsn"),
+                F2.max("n_turns_touched").alias("n_turns_touched"),
+            )
+            .orderBy("conv_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "conv_id string, n_events long, n_deletes long, max_lsn long,"
+        " n_turns_touched int",
     )
 
 
@@ -200,6 +214,21 @@ log AS (
          CAST(NULL AS VARCHAR) AS tool
   FROM events
 )
+"""
+
+
+#: The stateful tracker's final per-conversation maxima are plain
+#: aggregates of everything it ever saw (counts/max only grow), so the
+#: cross-batch state machine must land exactly here.
+SQL_STATEFUL_PROGRESS = f"""
+WITH {SQL_EVENTS_LOG}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deletes,
+       CAST(max(lsn) AS BIGINT) AS max_lsn,
+       CAST(count(DISTINCT turn_idx) AS INTEGER) AS n_turns_touched
+FROM log GROUP BY conv_id ORDER BY conv_id
 """
 
 
@@ -1256,5 +1285,6 @@ ORACLE = {
     "cdc_wap": SQL_CDC_WAP,
     "cdc_rollup": SQL_CDC_ROLLUP,
     "gdpr_purge": SQL_GDPR_PURGE,
+    "stateful_progress": SQL_STATEFUL_PROGRESS,
     # table_maintenance: rows-only (wall-clock/file-layout internals)
 }

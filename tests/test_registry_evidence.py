@@ -36,7 +36,9 @@ ROWS_ONLY_WITH_LOCAL_TEST = {
     # table / range() arithmetic — VERDICT r4 items 6/7); no longer
     # rows-only.
     "table_maintenance": "tests/test_new_evidence_queries.py::test_table_maintenance_invariants (planner counts, tick idempotence, as-of prefix equality, export/restore round trip)",
-    "stateful_progress": "tests/test_rows_only_oracles.py::test_stateful_progress_values_match_pure_sql",
+    # stateful_progress: gained an exact DuckDB oracle in r5 (input
+    # rebased onto the events-derived log; the tracker's final maxima
+    # are plain per-conv aggregates); no longer rows-only.
     "minhash_lsh_dedup": "tests/test_dataprep.py (planted near-dup recall)",
     "simhash_dedup": "tests/test_dataprep.py (planted near-dup recall)",
     # near_dup_clusters: gained an exact DuckDB oracle in r4 (md5-keyed

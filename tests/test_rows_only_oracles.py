@@ -1,15 +1,16 @@
-"""Value-level local oracles for the driver's rows-only queries
-(VERDICT r1 #9): the driver can only rows-check cdc_replay_state and
-stateful_progress (their input is the engine-internal deterministic
-generator, not the shared testdata views) — here the SAME generated log
-is persisted to parquet and the exact expected values are computed in
-pure DuckDB SQL, so the rows-only entries are backed by exact local
-equality."""
+"""Local value mirrors for cdc_replay_state and stateful_progress.
+
+Historically (r1-r4) these were the driver's rows-only queries (input
+was the engine-internal generator) and this file was their only exact
+evidence; since r5 both derive their input from the events table and
+carry full DuckDB oracles in the driver gate — this file keeps the
+same equality as a fast local guard (the SAME log persisted to parquet,
+expected values in pure DuckDB SQL)."""
 
 import duckdb
 
 from schema_matching_spark.queries import cdc
-from schema_matching_spark.sources.generator import changes, with_dup_delivery
+from schema_matching_spark.sources.generator import with_dup_delivery
 from tests.conftest import SF_DIR
 
 
@@ -53,7 +54,9 @@ def test_cdc_replay_state_values_match_pure_sql(spark, tmp_path):
 
 
 def test_stateful_progress_values_match_pure_sql(spark, tmp_path):
-    log = changes(spark, 3000, n_conv=20, turns_per_conv=10, partitions=4)
+    # same input as q_stateful_progress (events-derived log since r5 —
+    # this doubles as a local mirror of the driver's exact oracle)
+    log = cdc._events_changelog(spark, SF_DIR)
     log_path = str(tmp_path / "log")
     log.write.parquet(log_path)
 
