@@ -262,49 +262,56 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
 
 def q_table_changes_source(spark, sf_dir):
     """CDC-out connector (sources/table_changes.py — the snapshot table
-    as a `table_changes` readable format): build a table from the
-    deterministic generator, merge a second batch, then read the change
-    feed between the snapshots THROUGH the registered Python DataSource
-    and aggregate it.  Rows-only (engine-internal table); full parity
-    with changes_between plus checkpointed streaming resume is pinned in
-    tests/test_table_changes_source.py."""
+    as a `table_changes` readable format): build a table from the first
+    half of the events-derived log, merge the second half, then read
+    the change feed between the snapshots THROUGH the registered Python
+    DataSource and aggregate it.  Exact-oracled since r5: the connector
+    must reproduce changes_between bit-for-bit, so it shares
+    queries/cdc.SQL_CDC_CHANGELOG (the LWW-diff classification over the
+    same parquet).  Full parity with changes_between plus checkpointed
+    streaming resume is pinned in tests/test_table_changes_source.py."""
+    import shutil
+
     from ..operators.apply import apply_batch
     from ..plans.table import SnapshotTable
-    from ..sources.generator import changes
     from ..sources.table_changes import TableChangesDataSource
+    from .cdc import _events_changelog
 
     try:
         spark.dataSource.register(TableChangesDataSource)
     except Exception:
         pass  # already registered in this session
+    log = _events_changelog(spark, sf_dir)
+    cut = log.count() // 2
     root = tempfile.mkdtemp(prefix="q_tcsrc_")
-    table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=8)
-    apply_batch(
-        table, changes(spark, 4000, n_conv=40, turns_per_conv=12, partitions=4), "b1"
-    )
-    v1 = table.current_version()
-    apply_batch(
-        table,
-        changes(
-            spark, 1500, n_conv=40, turns_per_conv=12, lsn_start=4000, partitions=4
-        ),
-        "b2",
-    )
-    feed = (
-        spark.read.format("table_changes")
-        .option("path", table.root)
-        .option("from_version", v1)
-        .load()
-    )
-    return (
-        feed.groupBy("change_type")
-        .agg(
-            F.count("*").alias("n_changes"),
-            F.countDistinct("conv_id").alias("n_convs"),
-            F.min("lsn").alias("min_lsn"),
-            F.max("lsn").alias("max_lsn"),
+    try:
+        table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=8)
+        apply_batch(table, log.where(F.col("lsn") < cut), "b1")
+        v1 = table.current_version()
+        apply_batch(table, log.where(F.col("lsn") >= cut), "b2")
+        feed = (
+            spark.read.format("table_changes")
+            .option("path", table.root)
+            .option("from_version", v1)
+            .load()
         )
-        .orderBy("change_type")
+        rows = (
+            feed.groupBy("change_type")
+            .agg(
+                F.count("*").alias("n_changes"),
+                F.countDistinct("conv_id").alias("n_convs"),
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+            )
+            .orderBy("change_type")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "change_type string, n_changes long, n_convs long,"
+        " min_lsn long, max_lsn long",
     )
 
 
@@ -377,6 +384,14 @@ QUERIES = {
     "table_changes_source": q_table_changes_source,
 }
 
+def _sql_table_changes():
+    # shared with cdc_changelog: the connector must reproduce
+    # changes_between bit-for-bit, so the same LWW-diff oracle pins it
+    from .cdc import SQL_CDC_CHANGELOG
+
+    return SQL_CDC_CHANGELOG
+
+
 ORACLE = {
     "csv_source": SQL_CSV_SOURCE,
     "json_source": SQL_JSON_SOURCE,
@@ -384,4 +399,5 @@ ORACLE = {
     "partition_pruned_scan": SQL_PARTITION_PRUNED,
     "stream_aggregate": SQL_STREAM_AGGREGATE,
     "stream_stream_join": SQL_STREAM_STREAM_JOIN,
+    "table_changes_source": _sql_table_changes(),
 }

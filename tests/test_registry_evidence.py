@@ -27,7 +27,9 @@ _TOLERANCE_SF_DIR = os.environ.get(
 # that provides their correctness evidence instead.
 ROWS_ONLY_WITH_LOCAL_TEST = {
     "approx_distinct": "tests/test_registry_evidence.py::test_approx_distinct_tolerance",
-    "table_changes_source": "tests/test_table_changes_source.py (parity with changes_between + resume)",
+    # table_changes_source: gained an exact DuckDB oracle in r5 (shares
+    # cdc_changelog's LWW-diff SQL — the connector must reproduce
+    # changes_between bit-for-bit); no longer rows-only.
     "dedup_index_sync": "tests/test_dedup_index.py (index == batch signatures across sync/update/delete/resume)",
     # bootstrap_fence / multi_table_router / dlq_audit /
     # txn_atomic_apply (r5 wave 1) and cdc_replay_state /
