@@ -62,17 +62,29 @@ def main() -> None:
             extra_conf={"spark.local.dir": os.path.join(scratch, "slocal")},
         )
         spark.sparkContext.setLogLevel("ERROR")
-        wal = os.path.join(scratch, "wal")
-        changes(
-            spark, EVENTS, n_conv=max(EVENTS // 200, 100),
-            turns_per_conv=50, partitions=64,
-        ).write.parquet(wal)
+        # The WAL is deterministic generator output, so it can persist
+        # ACROSS invocations (SPARK_GRAFT_WAL_KEEP=/dev/shm/...): the
+        # build otherwise burns the freshest slice of a healthy window
+        # before the first timed rep, and its page-cache stays warm for
+        # later attempts.  The build is not part of the measured replay.
+        keep = os.environ.get("SPARK_GRAFT_WAL_KEEP")
+        wal = keep or os.path.join(scratch, "wal")
+        if not (keep and os.path.exists(os.path.join(wal, "_SUCCESS"))):
+            changes(
+                spark, EVENTS, n_conv=max(EVENTS // 200, 100),
+                turns_per_conv=50, partitions=64,
+            ).write.mode("overwrite").parquet(wal)
         log = spark.read.parquet(wal)
+        # Warm-up replay sized to JIT-compile every codegen stage of the
+        # REAL job shape (rep0 historically pays 3-4 s of warm-up that
+        # a 200k run doesn't trigger); untimed, so larger is free.
+        warm_events = int(os.environ.get("SPARK_GRAFT_WARM_EVENTS", "2000000"))
         warm = SnapshotTable(
             spark, os.path.join(scratch, "warm"), n_buckets=128
         )
         replay(warm, changes(
-            spark, 200_000, n_conv=1000, turns_per_conv=50, partitions=64,
+            spark, warm_events, n_conv=max(warm_events // 200, 100),
+            turns_per_conv=50, partitions=64,
         ))
         times = []
         for rep in range(REPS):
