@@ -30,7 +30,16 @@ def main() -> None:
     ap.add_argument("--cpus", default="32")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--tag", default="r5_40m")
+    # default: scale the parallel-unit COUNT with the data so per-task
+    # shuffle blocks stay headline-sized (10M leg = 128 buckets / 64
+    # partitions; 0 = derive from --events)
+    ap.add_argument("--buckets", type=int, default=0)
+    ap.add_argument("--partitions", type=int, default=0)
     args = ap.parse_args()
+    # the ledgered r5_40m leg ran 256 buckets / 128 partitions at 4e7 —
+    # keep that density (64 buckets + 32 partitions per 1e7 events)
+    n_buckets = args.buckets or max(64 * args.events // 10_000_000, 128)
+    partitions = args.partitions or max(32 * args.events // 10_000_000, 64)
 
     import bench
     from schema_matching_spark.functions.hostprobe import host_probes
@@ -52,8 +61,8 @@ def main() -> None:
     res = bench.bench_cdc(
         spark,
         args.events,
-        n_buckets=256,
-        partitions=128,
+        n_buckets=n_buckets,
+        partitions=partitions,
         reps=args.reps,
     )
     post = host_probes()
