@@ -430,6 +430,7 @@ def compact_headline(out: dict, detail_path: str | None) -> str:
         "metric": out["metric"],
         "value": out["value"],
         "unit": out["unit"],
+        "engine": out.get("engine"),
         "sf": out["sf"],
         "queries": out["queries"],
         "cdc_replay": {
@@ -552,9 +553,12 @@ def main() -> None:
     cdc = bench_cdc(spark, args.events, partitions=max(cpus * 2, 16))
     # skew evidence (north rule: hot-key skew handled EXPLICITLY): the
     # same replay with 30% of all events landing on ONE conversation.
-    # The salted winner search + hash-balanced bucket write keep the
-    # skewed replay within a small factor of the uniform one — without
-    # salting, one reducer would own 3M events.
+    # The collapse probe detects the hot bucket and routes this replay
+    # through the salted winner search + hash-balanced bucket write,
+    # keeping it within a small factor of the uniform one — without
+    # salting, one reducer would own 3M events.  (The uniform replay
+    # above probes the same way and takes the direct single-shuffle
+    # collapse instead — operators/salting.choose_collapse.)
     cdc_skew = bench_cdc_skewed(spark, args.events, partitions=max(cpus * 2, 16))
     scan_prune = bench_scan_pruning(spark)
     point_lookup = bench_point_lookup(spark)
@@ -590,10 +594,13 @@ def main() -> None:
         sf = float(sf)
     except ValueError:
         sf = args.sf_dir
+    from schema_matching_spark import REPLAY_ENGINE
+
     out = {
         "metric": "headline_queries_plus_cdc_replay_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "engine": REPLAY_ENGINE,
         "queries": timings,
         "sf": sf,
         "cdc": cdc,

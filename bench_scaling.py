@@ -56,6 +56,8 @@ PROBE_EVENTS = int(os.environ.get("SPARK_GRAFT_PROBE_EVENTS", "20000000"))
 
 HISTORY = os.path.join(HERE, "BENCH", "runs.jsonl")
 
+from schema_matching_spark import REPLAY_ENGINE  # noqa: E402
+
 #: untimed page-pool re-warms taken between timed sections (same ledger
 #: discipline as bench.py): the hypervisor re-reclaims the guest's free
 #: page pool on idle, so every allocation-heavy rep would otherwise pay
@@ -106,20 +108,34 @@ def _run_eff(r: dict, section: str) -> float | None:
     return (d["8"] / d["32"]) / 4.0
 
 
-def _debiased(history: list[dict]) -> dict:
+def _engine_of(r: dict) -> str:
+    return r.get("engine", "v1-salted")
+
+
+def _debiased(history: list[dict], engine: str | None = None) -> dict:
     """Noise-debiased cross-run efficiencies: best (min) time per config
     across ALL runs, then the ratio.  Host contention only ever slows a
     run down, so min-time per config is the standard noise rejection —
     unlike max-of-per-run-RATIOS, which is noise-INFLATED (a contended
     8-thread baseline inflates that run's ratio; observed twice in this
     history: sha 0.851 and arith 0.856 readings whose 8-thread legs were
-    1.4-1.8x slower than the best run's)."""
+    1.4-1.8x slower than the best run's).
+
+    ``engine`` restricts the REPLAY minima to runs of one engine tag
+    (see schema_matching_spark.REPLAY_ENGINE): minima may never be
+    compared across engine generations — a v2 32-leg against a v1
+    8-leg minimum would fabricate efficiency.  The host-control probes
+    (sha/arith/generator) never touch the merge path, so they pool
+    across all runs regardless."""
     out: dict = {}
     for section in ("replay_sec", "probe_sec", "arith_sec", "sha_hps"):
         agg = max if section == "sha_hps" else min
-        v8 = [r[section]["8"] for r in history
+        pool = history if (section != "replay_sec" or engine is None) else [
+            r for r in history if _engine_of(r) == engine
+        ]
+        v8 = [r[section]["8"] for r in pool
               if r.get(section, {}).get("8") is not None]
-        v32 = [r[section]["32"] for r in history
+        v32 = [r[section]["32"] for r in pool
                if r.get(section, {}).get("32") is not None]
         if not v8 or not v32:
             continue
@@ -142,18 +158,56 @@ def _history_md(history: list[dict], deb: dict) -> str:
         for section in ("replay_sec", "probe_sec", "arith_sec", "sha_hps"):
             e = _run_eff(r, section)
             cells.append("—" if e is None else f"{e:.3f}")
-        rows.append(f"| {i} | " + " | ".join(cells) + " |")
+        rows.append(
+            f"| {i} | {_engine_of(r)} | " + " | ".join(cells) + " |"
+        )
     lines = "\n".join(rows)
     rep, ceil = deb.get("replay_sec"), deb.get("ceiling")
     norm = deb.get("normalized")
+    engine_rows = []
+    for tag in sorted({_engine_of(r) for r in history}):
+        d = _debiased(history, engine=tag).get("replay_sec")
+        if d:
+            engine_rows.append(
+                f"| {tag} | {d['best8']:.1f} s | {d['best32']:.1f} s | "
+                f"{d['eff']:.3f} |"
+            )
+        else:
+            pool = [r for r in history if _engine_of(r) == tag]
+            b8 = min((r["replay_sec"]["8"] for r in pool
+                      if r.get("replay_sec", {}).get("8") is not None),
+                     default=None)
+            b32 = min((r["replay_sec"]["32"] for r in pool
+                       if r.get("replay_sec", {}).get("32") is not None),
+                      default=None)
+            engine_rows.append(
+                f"| {tag} | {b8:.1f} s" if b8 else f"| {tag} | —"
+            )
+            engine_rows[-1] += (f" | {b32:.1f} s | (one config only) |"
+                                if b32 else " | — | (one config only) |")
+    engine_table = "\n".join(engine_rows)
+    if rep is None:
+        # current engine has runs in only one config so far: no
+        # headline ratio — the per-engine table above carries the state
+        return f"""
+## Cross-run variance and the noise-debiased estimate
+
+Replay minima are engine-scoped (see schema_matching_spark.
+REPLAY_ENGINE); the current engine does not yet have recorded runs in
+both configs, so no debiased headline ratio is quoted this regenerate.
+
+| engine | best local[8] | best local[32] | debiased efficiency |
+|---|---|---|---|
+{engine_table}
+"""
     return f"""
 ## Cross-run variance and the noise-debiased estimate
 
 Per-run 8 -> 32 efficiencies across every recorded run of this harness
 (BENCH/runs.jsonl; — = section not recorded that run):
 
-| run | replay | generator probe | arith probe | sha256 probe |
-|---|---|---|---|---|
+| run | engine | replay | generator probe | arith probe | sha256 probe |
+|---|---|---|---|---|---|
 {lines}
 
 Single-run ratios swing ±0.15 with host contention — and NOT
@@ -163,6 +217,17 @@ symmetrically: a contended 8-thread leg *inflates* that run's ratio
 **best time per config across all runs, then the ratio** — contention
 only ever slows a leg down, so min-time is a sound per-config estimate
 and the resulting ratio is debiased in both directions.
+
+Replay minima are additionally **engine-scoped**: a faster engine
+generation must not borrow the previous generation's 8-leg minimum
+(schema_matching_spark.REPLAY_ENGINE tags every entry).  Per-engine
+replay minima:
+
+| engine | best local[8] | best local[32] | debiased efficiency |
+|---|---|---|---|
+{engine_table}
+
+Headline (current engine + pooled host probes):
 
 | section | best local[8] | best local[32] | debiased efficiency |
 |---|---|---|---|
@@ -451,6 +516,7 @@ def main() -> None:
 
     _append_history({
         "wall_ts": time.time(),
+        "engine": REPLAY_ENGINE,
         "events": EVENTS,
         "replay_sec": {"8": round(strong[8], 3), "32": round(strong[32], 3)},
         "probe_sec": {"8": round(probe[8], 2), "32": round(probe[32], 2)},
@@ -463,7 +529,9 @@ def main() -> None:
         "rewarm_events": REWARM_EVENTS,
     })
     history = _load_history()
-    deb = _debiased(history)
+    # replay minima are engine-scoped (never compare a v2 32-leg to a
+    # v1 8-leg minimum); probes pool across all runs
+    deb = _debiased(history, engine=REPLAY_ENGINE)
 
     result = {
         "metric": "cdc_replay_scaling_efficiency_local8_to_local32",

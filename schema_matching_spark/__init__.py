@@ -29,3 +29,15 @@ Layout (SURVEY.md §7.1):
 """
 
 __version__ = "0.1.0"
+
+#: Replay hot-path generation tag, stamped on every BENCH/runs.jsonl
+#: entry.  The cross-run debiased scaling estimator takes min-time per
+#: config ACROSS runs — sound against host noise but unsound across
+#: engine changes (a faster 32-leg from a new engine against an 8-leg
+#: minimum recorded under the old engine would fake efficiency), so
+#: minima are only ever compared within one engine tag.
+#:   v1-salted            rounds 1-5a: bootstrap always salted winner
+#:                        search + join-back
+#:   v2-adaptive-collapse round 5: probed direct/salted collapse policy
+#:                        (operators/salting.choose_collapse)
+REPLAY_ENGINE = "v2-adaptive-collapse"

@@ -23,6 +23,7 @@ def apply_batch(
     n_salts: int = 16,
     extra_lineage: dict | None = None,
     dedup: bool = False,
+    collapse: str = "auto",
 ) -> int:
     """Apply one bounded slice of the change log; returns new version.
 
@@ -39,7 +40,8 @@ def apply_batch(
     if dedup:
         raw_changes = dedup_batch(raw_changes)
     return table.merge_apply(
-        raw_changes, batch_id, extra_lineage=extra_lineage, n_salts=n_salts
+        raw_changes, batch_id, extra_lineage=extra_lineage, n_salts=n_salts,
+        collapse=collapse,
     )
 
 
@@ -48,10 +50,15 @@ def replay(
     log: DataFrame,
     batch_id: str = "replay-full",
     n_salts: int = 16,
+    collapse: str = "auto",
 ) -> int:
     """Replay a full bounded log in one merge (the bench's hot path).
 
     For an LSN-ordered log, applying everything in one batch is exact:
     last-write-wins by lsn is independent of batch boundaries.
+
+    ``collapse`` selects the bootstrap reduce strategy ("auto" probes
+    the log's duplication/skew shape and picks — see
+    operators/salting.choose_collapse).
     """
-    return apply_batch(table, log, batch_id, n_salts=n_salts)
+    return apply_batch(table, log, batch_id, n_salts=n_salts, collapse=collapse)

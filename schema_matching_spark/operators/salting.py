@@ -81,6 +81,85 @@ def winners_join(log: DataFrame, n_salts: int = 16) -> DataFrame:
     )
 
 
+def collapse_probe(log: DataFrame, n_buckets: int) -> dict:
+    """One cheap narrow pass over the change set: per-bucket event mass
+    and approximate distinct keys (xxhash64 of the key, HLL).
+
+    Cost: a columnar scan of (conv_id, turn_idx, lsn is NOT needed) with
+    map-side partial aggregation into ≤ ``n_buckets`` groups — the
+    shuffle carries ``n_buckets`` rows.  At any scale this is a tiny
+    fraction of one full-width payload shuffle, which is what the
+    decision it feeds can save (see ``choose_collapse``).
+    """
+    from ..plans.table import bucket_expr
+
+    per_bucket = (
+        log.groupBy(bucket_expr(n_buckets).alias("_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.approx_count_distinct(F.xxhash64(*KEY_COLS)).alias("keys"),
+        )
+        .collect()
+    )
+    rows = [int(r["rows"]) for r in per_bucket]
+    keys = [int(r["keys"]) for r in per_bucket]
+    total_rows = sum(rows)
+    total_keys = max(sum(keys), 1)
+    n_nonempty = max(len(rows), 1)
+    mean_rows = total_rows / n_nonempty
+    return {
+        "total_rows": total_rows,
+        "approx_keys": total_keys,
+        "dup_factor": round(total_rows / total_keys, 2),
+        "max_bucket_rows": max(rows, default=0),
+        "mean_bucket_rows": round(mean_rows, 1),
+        "bucket_skew": round(max(rows, default=0) / max(mean_rows, 1.0), 2),
+        "nonempty_buckets": len(rows),
+    }
+
+
+def choose_collapse(
+    log: DataFrame,
+    n_buckets: int,
+    dup_max: float = 16.0,
+    skew_max: float = 4.0,
+) -> tuple[str, dict]:
+    """Pick the full-log collapse strategy from measured input shape.
+
+    Shuffle-volume model (N events, duplication factor d = events/key):
+
+    * **direct** — one full-width exchange on ``_bucket``; the bucket
+      window then sorts ALL N events of each bucket (losers included)
+      before dropping non-winners.  Minimum bytes moved, but the
+      per-partition sort mass is the bucket's RAW event mass: a hot
+      conversation or a high-update log concentrates work and spill in
+      single tasks.
+    * **salted** — narrow salted ``max(lsn)`` winner search + join-back
+      (operators above): moves N full-width rows through the join
+      exchange PLUS N/d through the bucket exchange, but every sorted
+      or aggregated buffer stays narrow/bounded, so no input shape can
+      produce a straggler.
+
+    Measured on uniform transcript logs at d≈4 the direct path is ~2×
+    faster end-to-end (scripts/profile_replay.py); at high d the
+    salted path's N/d bucket exchange and winner-only sort win; under
+    hot-key skew the salted path is the only safe one (north rule:
+    skew handled explicitly — here that means *measured*, then
+    handled).  Thresholds: direct only when duplication ≤ ``dup_max``
+    AND max-bucket mass ≤ ``skew_max``× the mean.
+    """
+    stats = collapse_probe(log, n_buckets)
+    direct = (
+        stats["total_rows"] == 0
+        or (
+            stats["dup_factor"] <= dup_max
+            and stats["bucket_skew"] <= skew_max
+        )
+    )
+    stats["policy"] = "direct" if direct else "salted"
+    return stats["policy"], stats
+
+
 def winner_order():
     """Deterministic winner ordering: highest lsn, payload hash as the
     tie-break so a jittered redelivery resolves to the SAME single row

@@ -996,6 +996,10 @@ class SnapshotTable:
         buckets, ≤1/key) or winners_join output (raw hot-key event
         mass already dropped) or micro-batch-sized raw rows — in all
         three, per-bucket sort input is bounded and hash-balanced.
+        The one caller that feeds a FULL raw log (the probed-direct
+        bootstrap in merge_apply) is gated by choose_collapse's
+        measured skew/duplication thresholds, so the per-bucket sort
+        mass is bounded there too — by measurement, not construction.
         """
         from pyspark.sql.window import Window
 
@@ -1679,6 +1683,7 @@ class SnapshotTable:
         batch_id: str | int,
         extra_lineage: dict | None = None,
         n_salts: int = 16,
+        collapse: str = "auto",
     ) -> int:
         """Exactly-once MERGE of a change set — raw or pre-collapsed;
         the latest-wins reduce happens HERE, once, against the current
@@ -1740,7 +1745,40 @@ class SnapshotTable:
             # collapse IS the whole merge — reduce the raw log and
             # stream it straight into the bucketed writer (no persist,
             # no affected-bucket collect, no union).
-            data = self._bucket_collapse(winners_join(changes, n_salts=n_salts))
+            #
+            # Collapse strategy (``collapse``): "direct" shuffles the
+            # raw log ONCE on _bucket and lets the bucket window do the
+            # whole LWW reduce (minimum full-width bytes moved, ~2×
+            # faster on uniform logs — scripts/profile_replay.py);
+            # "salted" pre-reduces with the narrow salted winner search
+            # + join-back so no hot conversation or high-update log can
+            # concentrate sort mass in one task.  "auto" (default)
+            # MEASURES the input — one narrow probe pass, per-bucket
+            # mass + approx distinct keys — and picks; the decision and
+            # its evidence land in the commit lineage
+            # (``collapse_policy``) so every bootstrap is auditable.
+            from ..operators.salting import choose_collapse
+
+            policy, pstats = (
+                choose_collapse(changes, self.n_buckets)
+                if collapse == "auto"
+                else (collapse, None)
+            )
+            if policy == "direct":
+                data = self._bucket_collapse(changes.select(*FILE_COLS))
+            else:
+                data = self._bucket_collapse(
+                    winners_join(changes, n_salts=n_salts)
+                )
+            if pstats is not None:
+                if callable(extra_lineage):
+                    base, stats = extra_lineage, pstats
+
+                    def extra_lineage():
+                        return {**base(), "collapse_policy": stats}
+                else:
+                    extra_lineage = dict(extra_lineage or {})
+                    extra_lineage["collapse_policy"] = pstats
             new_entries = self._write_commit_files(data.select(*FILE_COLS, "_bucket"))
             affected = {e["bucket"] for e in new_entries}
             return self._commit_merge(

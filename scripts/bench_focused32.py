@@ -104,8 +104,11 @@ def main() -> None:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
+    from schema_matching_spark import REPLAY_ENGINE
+
     entry = {
         "wall_ts": time.time(),
+        "engine": REPLAY_ENGINE,
         "events": EVENTS,
         "replay_sec": {"32": round(min(times), 3)},
         "replay_reps_sec": [round(t, 3) for t in times],

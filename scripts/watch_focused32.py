@@ -37,6 +37,11 @@ SLEEP_SEC = float(os.environ.get("HUNT_SLEEP_SEC", "45"))
 BACKOFF_SEC = float(os.environ.get("HUNT_BACKOFF_SEC", "240"))
 MAX_FIRES = int(os.environ.get("HUNT_MAX_FIRES", "4"))
 LEDGER = os.path.join(HERE, "BENCH", "hunt_r5.jsonl")
+# Anything else that needs a Spark session (pytest, strict oracle
+# check) takes this lock; the watcher never fires while it exists —
+# two concurrent Spark sessions on this box produce spurious failures
+# on BOTH sides (CLAUDE.md).
+LOCK = os.environ.get("HUNT_LOCK", "/tmp/spark_graft_session.lock")
 
 
 def _ledger(ev: dict) -> None:
@@ -58,6 +63,10 @@ def main() -> None:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_WAL_KEEP", "/dev/shm/focused32_wal_keep")
     while time.time() < t_end and fires < MAX_FIRES:
+        if os.path.exists(LOCK):
+            _ledger({"skipped_locked": True})
+            time.sleep(SLEEP_SEC)
+            continue
         ft = first_touch_gbs(mib=128, budget_sec=1.0)
         decision: dict = {"probe_first_touch_gbs": round(ft, 2)}
         fire = ft >= FIRE_FT
