@@ -30,6 +30,12 @@ sys.path.insert(0, HERE)
 
 EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "10000000"))
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+# Focused legs default to the 32-thread config, but the honest
+# min-per-config estimator needs BOTH configs sampled in healthy
+# windows — otherwise the 8-leg minimum comes only from full
+# bench_scaling runs (whose window is usually cooling by the time
+# any leg finishes) and the ratio is biased UP.
+THREADS = int(os.environ.get("SPARK_GRAFT_SCALE_THREADS", "32"))
 
 
 def main() -> None:
@@ -58,7 +64,7 @@ def main() -> None:
     scratch = tempfile.mkdtemp(prefix="focused32_", dir=base)
     try:
         spark = get_spark(
-            "focused32", master="local[32]", shuffle_partitions=64,
+            "focused32", master=f"local[{THREADS}]", shuffle_partitions=64,
             extra_conf={"spark.local.dir": os.path.join(scratch, "slocal")},
         )
         spark.sparkContext.setLogLevel("ERROR")
@@ -110,9 +116,9 @@ def main() -> None:
         "wall_ts": time.time(),
         "engine": REPLAY_ENGINE,
         "events": EVENTS,
-        "replay_sec": {"32": round(min(times), 3)},
+        "replay_sec": {str(THREADS): round(min(times), 3)},
         "replay_reps_sec": [round(t, 3) for t in times],
-        "note": "focused 32-only leg (whole healthy window on the 32 side)",
+        "note": f"focused {THREADS}-thread leg (whole healthy window on one config)",
         "rewarm_events": rewarms,
     }
     with open(os.path.join(HERE, "BENCH", "runs.jsonl"), "a") as f:
