@@ -36,6 +36,9 @@ REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 # bench_scaling runs (whose window is usually cooling by the time
 # any leg finishes) and the ratio is biased UP.
 THREADS = int(os.environ.get("SPARK_GRAFT_SCALE_THREADS", "32"))
+# Shuffle partitions must scale with input (64 is right for the 10M
+# headline; a 10^8 leg at 64 puts ~1.5M full-width rows in one task).
+SHUFFLE = int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "64"))
 
 
 def main() -> None:
@@ -64,7 +67,7 @@ def main() -> None:
     scratch = tempfile.mkdtemp(prefix="focused32_", dir=base)
     try:
         spark = get_spark(
-            "focused32", master=f"local[{THREADS}]", shuffle_partitions=64,
+            "focused32", master=f"local[{THREADS}]", shuffle_partitions=SHUFFLE,
             extra_conf={"spark.local.dir": os.path.join(scratch, "slocal")},
         )
         spark.sparkContext.setLogLevel("ERROR")
