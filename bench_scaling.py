@@ -126,12 +126,23 @@ def _debiased(history: list[dict], engine: str | None = None) -> dict:
     compared across engine generations — a v2 32-leg against a v1
     8-leg minimum would fabricate efficiency.  The host-control probes
     (sha/arith/generator) never touch the merge path, so they pool
-    across all runs regardless."""
+    across all runs regardless.
+
+    Replay minima are ALSO scoped to this harness's input size
+    (``EVENTS``): focused legs at other sizes land in the same ledger
+    (SPARK_GRAFT_SCALE_EVENTS — 40M/100M weak-scaling legs exist), and
+    a small-input 32-leg ratioed against the standard-input 8-leg
+    minimum would fabricate efficiency on the size axis exactly as a
+    cross-engine pair would on the engine axis.  Entries without an
+    ``events`` field predate the focused-leg era and were all recorded
+    at the standard input."""
     out: dict = {}
     for section in ("replay_sec", "probe_sec", "arith_sec", "sha_hps"):
         agg = max if section == "sha_hps" else min
-        pool = history if (section != "replay_sec" or engine is None) else [
-            r for r in history if _engine_of(r) == engine
+        pool = history if section != "replay_sec" else [
+            r for r in history
+            if r.get("events", EVENTS) == EVENTS
+            and (engine is None or _engine_of(r) == engine)
         ]
         v8 = [r[section]["8"] for r in pool
               if r.get(section, {}).get("8") is not None]
@@ -173,7 +184,8 @@ def _history_md(history: list[dict], deb: dict) -> str:
                 f"{d['eff']:.3f} |"
             )
         else:
-            pool = [r for r in history if _engine_of(r) == tag]
+            pool = [r for r in history if _engine_of(r) == tag
+                    and r.get("events", EVENTS) == EVENTS]
             b8 = min((r["replay_sec"]["8"] for r in pool
                       if r.get("replay_sec", {}).get("8") is not None),
                      default=None)

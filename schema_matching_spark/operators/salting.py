@@ -61,17 +61,26 @@ def collapse_latest_salted(log: DataFrame, n_salts: int = 16) -> DataFrame:
     return dedup_winners(winners_join(log, n_salts=n_salts))
 
 
-def winners_join(log: DataFrame, n_salts: int = 16) -> DataFrame:
-    """Phases 1+2 without the final dedup: ≥1 row per key, every row a
-    winning (key, lsn) — table.py fuses the dedup into its
-    bucket-aligned write shuffle instead."""
+def salted_winners(log: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Phase 1 alone: the narrow salted ``max(lsn)`` winner search —
+    one winning (key, lsn) row per key, no payload columns.  Exposed
+    separately so scripts/profile_replay.py measures the REAL phase-1
+    pipeline (an inline copy there would silently diverge if the
+    salting scheme changes)."""
     salted = log.withColumn("_salt", F.pmod(F.xxhash64("lsn"), F.lit(n_salts)))
-    winners = (
+    return (
         salted.groupBy(*KEY_COLS, "_salt")
         .agg(F.max("lsn").alias("lsn"))
         .groupBy(*KEY_COLS)
         .agg(F.max("lsn").alias("lsn"))
     )
+
+
+def winners_join(log: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Phases 1+2 without the final dedup: ≥1 row per key, every row a
+    winning (key, lsn) — table.py fuses the dedup into its
+    bucket-aligned write shuffle instead."""
+    winners = salted_winners(log, n_salts=n_salts)
     # shuffle_hash hint: broadcasting the winners would collect+build a
     # multi-million-entry hash relation single-threaded on the driver —
     # measured as the scaling bottleneck.  A shuffled-hash join builds
@@ -105,15 +114,21 @@ def collapse_probe(log: DataFrame, n_buckets: int) -> dict:
     keys = [int(r["keys"]) for r in per_bucket]
     total_rows = sum(rows)
     total_keys = max(sum(keys), 1)
-    n_nonempty = max(len(rows), 1)
-    mean_rows = total_rows / n_nonempty
+    # Skew denominator = the HASH-BALANCED ideal (total/n_buckets), NOT
+    # the mean over nonempty buckets: a low-cardinality log (6
+    # conversations into 128 buckets) fills 6 buckets near-equally, so
+    # the nonempty mean reads "uniform" (max/mean ≈ 1) while every task
+    # of a direct collapse would sort total/6 full-width rows — the
+    # exact concentration the probe exists to detect.  Against the
+    # ideal the same log reads skew ≈ n_buckets/6 and routes salted.
+    ideal_rows = total_rows / max(n_buckets, 1)
     return {
         "total_rows": total_rows,
         "approx_keys": total_keys,
         "dup_factor": round(total_rows / total_keys, 2),
         "max_bucket_rows": max(rows, default=0),
-        "mean_bucket_rows": round(mean_rows, 1),
-        "bucket_skew": round(max(rows, default=0) / max(mean_rows, 1.0), 2),
+        "mean_bucket_rows": round(ideal_rows, 1),
+        "bucket_skew": round(max(rows, default=0) / max(ideal_rows, 1.0), 2),
         "nonempty_buckets": len(rows),
     }
 
@@ -146,7 +161,9 @@ def choose_collapse(
     hot-key skew the salted path is the only safe one (north rule:
     skew handled explicitly — here that means *measured*, then
     handled).  Thresholds: direct only when duplication ≤ ``dup_max``
-    AND max-bucket mass ≤ ``skew_max``× the mean.
+    AND max-bucket mass ≤ ``skew_max``× the hash-balanced ideal
+    (total/n_buckets — see collapse_probe on why the nonempty-bucket
+    mean is the wrong denominator).
     """
     stats = collapse_probe(log, n_buckets)
     direct = (

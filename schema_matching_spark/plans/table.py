@@ -1722,6 +1722,14 @@ class SnapshotTable:
         """
         from ..operators.salting import winners_join
 
+        if collapse not in ("auto", "direct", "salted"):
+            # fail loudly: a typo ('Direct', 'none') would otherwise
+            # silently take the salted path with no lineage record,
+            # and the caller would believe their forced choice ran
+            raise ValueError(
+                f"collapse must be 'auto'|'direct'|'salted', got {collapse!r}"
+            )
+
         cur = self.manifest()
         if _batch_applied(cur, batch_id):
             return cur["version"]  # idempotent replay

@@ -73,18 +73,11 @@ def main() -> None:
 
         timed("scan_noop", lambda: noop(log))
         salted = lambda: winners_join(log, n_salts=16)
-        from pyspark.sql import functions as F
-        from schema_matching_spark.schemas import KEY_COLS
+        from schema_matching_spark.operators.salting import salted_winners
 
-        def winners_only():
-            s = log.withColumn("_salt", F.pmod(F.xxhash64("lsn"), F.lit(16)))
-            w = (
-                s.groupBy(*KEY_COLS, "_salt").agg(F.max("lsn").alias("lsn"))
-                .groupBy(*KEY_COLS).agg(F.max("lsn").alias("lsn"))
-            )
-            noop(w)
-
-        timed("winners_agg_noop", winners_only)
+        # measure the REAL phase-1 pipeline (an inline re-implementation
+        # here would silently diverge if the salting scheme changes)
+        timed("winners_agg_noop", lambda: noop(salted_winners(log, n_salts=16)))
         timed("winners_join_noop", lambda: noop(salted()))
 
         tbl0 = SnapshotTable(spark, os.path.join(scratch, "t0"), n_buckets=128)

@@ -37,10 +37,13 @@ SLEEP_SEC = float(os.environ.get("HUNT_SLEEP_SEC", "45"))
 BACKOFF_SEC = float(os.environ.get("HUNT_BACKOFF_SEC", "240"))
 MAX_FIRES = int(os.environ.get("HUNT_MAX_FIRES", "4"))
 LEDGER = os.path.join(HERE, "BENCH", "hunt_r5.jsonl")
-# Anything else that needs a Spark session (pytest, strict oracle
-# check) takes this lock; the watcher never fires while it exists —
-# two concurrent Spark sessions on this box produce spurious failures
-# on BOTH sides (CLAUDE.md).
+# Advisory mutex against concurrent Spark sessions (CLAUDE.md: two at
+# once produce spurious failures on BOTH sides).  Discipline, both
+# directions: whoever starts pytest / strict_oracle_check / any other
+# Spark session while a watcher is up must `touch` this file first and
+# remove it after (nothing takes it automatically); the watcher skips
+# its fire while the file exists, and HOLDS the file itself while its
+# own bench subprocess runs so the other side can observe it.
 LOCK = os.environ.get("HUNT_LOCK", "/tmp/spark_graft_session.lock")
 
 
@@ -88,11 +91,21 @@ def main() -> None:
             decision["fire_idx"] = fires
             _ledger(decision)
             t0 = time.time()
-            r = subprocess.run(
-                [sys.executable, os.path.join(HERE, "scripts",
-                                              "bench_focused32.py")],
-                env=env, capture_output=True, text=True, timeout=1800,
-            )
+            # hold the session mutex for the duration of the leg so a
+            # pytest/oracle run started meanwhile can see it and wait
+            with open(LOCK, "w") as lf:
+                lf.write(f"watch_focused32 pid={os.getpid()}\n")
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.join(HERE, "scripts",
+                                                  "bench_focused32.py")],
+                    env=env, capture_output=True, text=True, timeout=1800,
+                )
+            finally:
+                try:
+                    os.remove(LOCK)
+                except OSError:
+                    pass
             tail = (r.stdout.strip().splitlines() or [""])[-1]
             _ledger({
                 "fired_sec": round(time.time() - t0, 1),

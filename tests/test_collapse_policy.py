@@ -98,3 +98,24 @@ def test_empty_log_bootstraps_direct(spark, tmp_path, log):
     policy, stats = choose_collapse(empty, n_buckets=8)
     assert policy == "direct"
     assert stats["total_rows"] == 0
+
+
+def test_low_cardinality_log_routes_salted(spark):
+    """6 conversations into 128 buckets fill ≤6 buckets near-equally:
+    the mean over NONEMPTY buckets would read max/mean ≈ 1 ('uniform')
+    while a direct collapse would sort total/6 full-width rows per
+    task.  The probe must measure skew against the hash-balanced ideal
+    (total/n_buckets) and route this shape salted even though its
+    duplication factor is low."""
+    few = changes(spark, N, n_conv=6, turns_per_conv=250, partitions=4)
+    policy, stats = choose_collapse(few, n_buckets=128)
+    assert stats["dup_factor"] <= 16.0  # not the dup gate firing
+    assert stats["nonempty_buckets"] <= 6
+    assert stats["bucket_skew"] > 4.0
+    assert policy == "salted"
+
+
+def test_merge_apply_rejects_unknown_collapse(spark, tmp_path, log):
+    tbl = SnapshotTable(spark, str(tmp_path / "bad"), n_buckets=8)
+    with pytest.raises(ValueError, match="collapse"):
+        tbl.merge_apply(log, "b0", collapse="Direct")
