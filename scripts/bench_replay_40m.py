@@ -35,6 +35,11 @@ def main() -> None:
     # partitions; 0 = derive from --events)
     ap.add_argument("--buckets", type=int, default=0)
     ap.add_argument("--partitions", type=int, default=0)
+    # shuffle width must also scale with input: the ledgered 10^8 legs
+    # showed 64 partitions puts ~1.5M full-width rows in one task
+    # (106.6 s) while 256 right-sizes it (46.7 s).  0 = cpus*2, the
+    # right width for the 10M headline.
+    ap.add_argument("--shuffle", type=int, default=0)
     args = ap.parse_args()
     # the ledgered r5_40m leg ran 256 buckets / 128 partitions at 4e7 —
     # keep that density (64 buckets + 32 partitions per 1e7 events)
@@ -42,6 +47,7 @@ def main() -> None:
     partitions = args.partitions or max(32 * args.events // 10_000_000, 64)
 
     import bench
+    from schema_matching_spark import REPLAY_ENGINE
     from schema_matching_spark.functions.hostprobe import host_probes
     from schema_matching_spark.session import get_spark
 
@@ -51,7 +57,7 @@ def main() -> None:
     spark = get_spark(
         "bench40m",
         master=f"local[{args.cpus}]",
-        shuffle_partitions=int(args.cpus) * 2,
+        shuffle_partitions=args.shuffle or int(args.cpus) * 2,
     )
     spark.sparkContext.setLogLevel("ERROR")
     os.environ["SPARK_GRAFT_BENCH_REPS"] = str(args.reps)
@@ -68,7 +74,9 @@ def main() -> None:
     post = host_probes()
     entry = {
         "run": args.tag,
+        "engine": REPLAY_ENGINE,
         "events": args.events,
+        "shuffle_partitions": args.shuffle or int(args.cpus) * 2,
         "replay_reps_sec": res["replay_reps_sec"],
         "replay_sec": res["replay_sec"],
         "replay_ev_s": res["events_per_sec"],
