@@ -36,6 +36,12 @@ BUDGET_SEC = float(os.environ.get("HUNT_BUDGET_SEC", "3600"))
 SLEEP_SEC = float(os.environ.get("HUNT_SLEEP_SEC", "45"))
 BACKOFF_SEC = float(os.environ.get("HUNT_BACKOFF_SEC", "240"))
 MAX_FIRES = int(os.environ.get("HUNT_MAX_FIRES", "4"))
+# what to fire in a healthy window: default is the focused 32-leg, but
+# any bench harness works (e.g. the verified 10^8 leg:
+#   HUNT_CMD="scripts/bench_replay_40m.py --events 100000000
+#             --shuffle 256 --tag r5_100m_v" )
+HUNT_CMD = os.environ.get("HUNT_CMD", "scripts/bench_focused32.py")
+HUNT_TIMEOUT = float(os.environ.get("HUNT_TIMEOUT", "1800"))
 LEDGER = os.path.join(HERE, "BENCH", "hunt_r5.jsonl")
 # Advisory mutex against concurrent Spark sessions (CLAUDE.md: two at
 # once produce spurious failures on BOTH sides).  Discipline, both
@@ -89,6 +95,7 @@ def main() -> None:
         if fire:
             fires += 1
             decision["fire_idx"] = fires
+            decision["cmd"] = HUNT_CMD
             _ledger(decision)
             t0 = time.time()
             # hold the session mutex for the duration of the leg so a
@@ -96,10 +103,14 @@ def main() -> None:
             with open(LOCK, "w") as lf:
                 lf.write(f"watch_focused32 pid={os.getpid()}\n")
             try:
+                import shlex
+
+                cmd_parts = shlex.split(HUNT_CMD)
+                cmd_parts[0] = os.path.join(HERE, cmd_parts[0])
                 r = subprocess.run(
-                    [sys.executable, os.path.join(HERE, "scripts",
-                                                  "bench_focused32.py")],
-                    env=env, capture_output=True, text=True, timeout=1800,
+                    [sys.executable] + cmd_parts,
+                    env=env, capture_output=True, text=True,
+                    timeout=HUNT_TIMEOUT,
                 )
             finally:
                 try:
