@@ -77,6 +77,9 @@ def maybe_rewarm(tag: str, gib: float = 12.0) -> None:
         prewarm_pages,
     )
 
+    # big-input legs (4e8+) allocate tens of GB of fresh pages per
+    # timed rep — let the leg harness scale the pool it provisions
+    gib = float(os.environ.get("SPARK_GRAFT_REWARM_GIB", gib))
     ft = first_touch_gbs(mib=128, budget_sec=1.0)
     ev: dict = {"tag": tag, "first_touch_gbs": round(ft, 2)}
     if ft < 2.0:
