@@ -100,6 +100,61 @@ def with_dup_delivery(log: DataFrame) -> DataFrame:
     return log.unionAll(dups)
 
 
+def lww_winners(log: DataFrame) -> DataFrame:
+    """Engine-independent LWW *fold state*: one row per key carrying the
+    winning event's full image INCLUDING ``op`` and ``lsn``.
+
+    max-lsn selection is associative and commutative (lsns are unique),
+    so the fold composes across arbitrary log slices::
+
+        lww_winners(lww_winners(chunk_a) ∪ chunk_b)
+            == lww_winners(chunk_a ∪ chunk_b)
+
+    This is what makes a *chunked* golden oracle possible at inputs too
+    large to hold alongside their own verify shuffle (10^9-event legs:
+    a 66 GB WAL plus a ~60 GB payload shuffle exceeds this box's RAM —
+    fold prefix winners with each chunk instead, then delete the chunk).
+    Tombstone winners (op='D') MUST stay in the fold state: a later
+    chunk can only out-rank them by lsn, and dropping them early would
+    resurrect the key.  ``winners_state`` applies the final filter.
+
+    Implemented as the same single ``max_by`` aggregation as
+    ``expected_state`` (one shuffle, partial aggregation map-side).
+    """
+    struct = F.struct("op", "role", "text", "tool", "ts")
+    last = log.groupBy("conv_id", "turn_idx").agg(
+        F.max_by(struct, F.col("lsn")).alias("w"), F.max("lsn").alias("lsn")
+    )
+    return last.select(
+        "conv_id",
+        "turn_idx",
+        "lsn",
+        F.col("w.op").alias("op"),
+        F.col("w.role").alias("role"),
+        F.col("w.text").alias("text"),
+        F.col("w.tool").alias("tool"),
+        F.col("w.ts").alias("ts"),
+    )
+
+
+def fold_winners(prev_winners: DataFrame | None, chunk: DataFrame) -> DataFrame:
+    """One step of the chunked oracle: fold the previous prefix's
+    winners with the next raw log chunk.  ``prev_winners`` rows are
+    themselves events (they carry op/lsn), so the fold is just
+    ``lww_winners`` over the union."""
+    if prev_winners is None:
+        return lww_winners(chunk)
+    return lww_winners(prev_winners.unionByName(chunk))
+
+
+def winners_state(winners: DataFrame) -> DataFrame:
+    """Project a winners fold state to the expected final table state
+    (drop tombstone winners, drop the fold's lsn bookkeeping)."""
+    return winners.where(F.col("op") != "D").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
 def expected_state(log: DataFrame) -> DataFrame:
     """Engine-independent golden oracle: last-write-wins by max lsn per
     (conv_id, turn_idx); a final op='D' removes the key.
@@ -108,21 +163,16 @@ def expected_state(log: DataFrame) -> DataFrame:
     aggregation map-side) rather than a window, so the oracle itself
     scales: no per-key sort, no row_number materialization.
     """
-    struct = F.struct("op", "role", "text", "tool", "ts")
-    last = log.groupBy("conv_id", "turn_idx").agg(
-        F.max_by(struct, F.col("lsn")).alias("w"), F.max("lsn").alias("_lsn")
-    )
-    return (
-        last.where(F.col("w.op") != "D")
-        .select(
-            "conv_id",
-            "turn_idx",
-            F.col("w.role").alias("role"),
-            F.col("w.text").alias("text"),
-            F.col("w.tool").alias("tool"),
-            F.col("w.ts").alias("ts"),
-        )
-    )
+    return winners_state(lww_winners(log))
 
 
-__all__ = ["changes", "with_dup_delivery", "expected_state", "CHANGE_COLS", "BASE_TS"]
+__all__ = [
+    "changes",
+    "with_dup_delivery",
+    "expected_state",
+    "lww_winners",
+    "fold_winners",
+    "winners_state",
+    "CHANGE_COLS",
+    "BASE_TS",
+]
