@@ -59,7 +59,30 @@ def main() -> None:
     ap.add_argument("--compact-every", type=int, default=2)
     ap.add_argument("--tag", default="r5_1g_sustained")
     ap.add_argument("--keep-wal", action="store_true")
+    # Both 1e9 one-pass attempts died to GCLocker allocation retries
+    # (BENCH/hunt_r5.jsonl r5_1g_sustained fires 1-2): 32 zstd-JNI
+    # critical sections starve a ~68 MB humongous allocation in the
+    # default 8 GB heap while 66 GB of WAL sits on tmpfs.  Fix is
+    # two-sided: a bigger pre-touched heap with more GCLocker retries,
+    # and (default) per-chunk WAL generation so tmpfs never holds more
+    # than one chunk — changes() is lsn-deterministic, so generating
+    # chunk i with lsn_start=i*chunk_sz is bit-identical to slicing a
+    # one-pass log (pinned by tests/test_fold_oracle.py).
+    ap.add_argument("--driver-mem", default=os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    ap.add_argument(
+        "--onepass-wal",
+        action="store_true",
+        help="materialize the full WAL up front (original protocol; "
+        "needs events*66B of tmpfs headroom)",
+    )
     args = ap.parse_args()
+
+    os.environ["SPARK_DRIVER_MEM"] = args.driver_mem
+    os.environ.setdefault(
+        "SPARK_GRAFT_JAVA_OPTS",
+        f"-Xms{args.driver_mem} -XX:+AlwaysPreTouch"
+        " -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
+    )
 
     import bench
     from schema_matching_spark import REPLAY_ENGINE
@@ -109,31 +132,54 @@ def main() -> None:
         )
         shutil.rmtree(os.path.join(root, "warm"), ignore_errors=True)
 
-        # one-pass WAL materialization, partitioned into lsn-range chunk
-        # dirs (untimed — the metric starts at the parquet scan)
-        t0 = time.time()
-        changes(
-            spark,
-            args.events,
-            n_conv=max(args.events // 200, 100),
-            turns_per_conv=50,
-            partitions=args.gen_partitions,
-        ).withColumn(
-            "_chunk", (F.col("lsn") / F.lit(chunk_sz)).cast("int")
-        ).write.partitionBy("_chunk").parquet(wal_root)
-        gen_sec = time.time() - t0
-        print(
-            f"wal materialized: {gen_sec:.1f}s, shm used {_shm_used_gb()} GB",
-            flush=True,
-        )
+        n_conv = max(args.events // 200, 100)
+        gen_sec = 0.0
+        if args.onepass_wal:
+            # one-pass WAL materialization, partitioned into lsn-range
+            # chunk dirs (untimed — the metric starts at the parquet scan)
+            t0 = time.time()
+            changes(
+                spark,
+                args.events,
+                n_conv=n_conv,
+                turns_per_conv=50,
+                partitions=args.gen_partitions,
+            ).withColumn(
+                "_chunk", (F.col("lsn") / F.lit(chunk_sz)).cast("int")
+            ).write.partitionBy("_chunk").parquet(wal_root)
+            gen_sec = time.time() - t0
+            print(
+                f"wal materialized: {gen_sec:.1f}s, shm used {_shm_used_gb()} GB",
+                flush=True,
+            )
+
+        def _chunk_dir(i: int) -> str:
+            return os.path.join(wal_root, f"_chunk={i}")
+
+        def _materialize_chunk(i: int) -> float:
+            """Per-chunk WAL gen (untimed): lsn-range slice, bit-identical
+            to the one-pass log because every column derives from lsn."""
+            if args.onepass_wal:
+                return 0.0
+            t0 = time.time()
+            changes(
+                spark,
+                chunk_sz,
+                n_conv=n_conv,
+                turns_per_conv=50,
+                lsn_start=i * chunk_sz,
+                partitions=max(args.gen_partitions // args.chunks, 32),
+            ).write.parquet(_chunk_dir(i))
+            return time.time() - t0
 
         table = SnapshotTable(spark, tbl_dir, n_buckets=args.buckets, mode="mor")
         winners_cur: str | None = None
         apply_sec = 0.0
         maint_sec = 0.0
         for i in range(args.chunks):
+            gen_sec += _materialize_chunk(i)
             bench.maybe_rewarm(f"sustained_chunk{i}")
-            chunk_dir = os.path.join(wal_root, f"_chunk={i}")
+            chunk_dir = _chunk_dir(i)
             chunk = spark.read.parquet(chunk_dir)
 
             t0 = time.time()
@@ -207,6 +253,8 @@ def main() -> None:
             "apply_only_ev_s": round(args.events / apply_sec, 1),
             "verify_sec": round(verify_sec, 2),
             "verified": bool(verified),
+            "wal_mode": "onepass" if args.onepass_wal else "per_chunk",
+            "driver_mem": args.driver_mem,
             "gen_sec": round(gen_sec, 1),
             "chunk_ledger": ledger,
             "regime": {
