@@ -57,6 +57,17 @@ def main() -> None:
     ap.add_argument("--shuffle", type=int, default=256)
     ap.add_argument("--gen-partitions", type=int, default=1024)
     ap.add_argument("--compact-every", type=int, default=2)
+    ap.add_argument(
+        "--policy",
+        choices=["every", "planner"],
+        default="every",
+        help="'every': full compact each --compact-every chunks; "
+        "'planner': B25 run_maintenance tick each chunk — compacts at "
+        "most --max-compact-buckets buckets whose delta depth exceeds "
+        "--max-delta-files (bounded rolling maintenance)",
+    )
+    ap.add_argument("--max-compact-buckets", type=int, default=64)
+    ap.add_argument("--max-delta-files", type=int, default=4)
     ap.add_argument("--tag", default="r5_1g_sustained")
     ap.add_argument("--keep-wal", action="store_true")
     # Both 1e9 one-pass attempts died to GCLocker allocation retries
@@ -188,14 +199,31 @@ def main() -> None:
             apply_sec += dt_apply
 
             dt_maint = 0.0
-            if (i + 1) % args.compact_every == 0 or i == args.chunks - 1:
+            gc_stats = None
+            ticked: list[int] | None = None
+            if args.policy == "planner":
+                # B25 rolling tick: compact only buckets whose delta
+                # depth crossed max_files_per_bucket, at most
+                # --max-compact-buckets per tick — maintenance cost per
+                # chunk is bounded by the tick, not by table size (the
+                # r5 100M-leg lesson: counter-driven full compacts made
+                # maintenance the majority cost and grew with the table)
+                t0 = time.time()
+                actions = table.run_maintenance(
+                    max_compact_buckets=args.max_compact_buckets,
+                    keep_snapshots=1,
+                    max_files_per_bucket=args.max_delta_files,
+                )
+                dt_maint = time.time() - t0
+                maint_sec += dt_maint
+                gc_stats = actions.get("expired")
+                ticked = actions.get("compacted_buckets", [])
+            elif (i + 1) % args.compact_every == 0 or i == args.chunks - 1:
                 t0 = time.time()
                 table.compact()
                 gc_stats = table.expire_snapshots(keep_n=1)
                 dt_maint = time.time() - t0
                 maint_sec += dt_maint
-            else:
-                gc_stats = None
 
             # untimed: fold the engine-independent oracle, then drop the
             # consumed chunk so peak tmpfs stays bounded
@@ -226,6 +254,8 @@ def main() -> None:
                 ev["expired_bytes_gb"] = round(
                     gc_stats["bytes_reclaimed"] / 2**30, 2
                 )
+            if ticked is not None:
+                ev["ticked_buckets"] = len(ticked)
             ledger.append(ev)
             print("chunk:", json.dumps(ev), flush=True)
 
@@ -244,6 +274,7 @@ def main() -> None:
             "events": args.events,
             "chunks": args.chunks,
             "compact_every": args.compact_every,
+            "maintenance_policy": args.policy,
             "n_buckets": args.buckets,
             "shuffle_partitions": args.shuffle,
             "apply_sec": round(apply_sec, 2),
