@@ -70,6 +70,18 @@ def main() -> None:
     ap.add_argument("--max-delta-files", type=int, default=4)
     ap.add_argument("--tag", default="r5_1g_sustained")
     ap.add_argument("--keep-wal", action="store_true")
+    # tmpfs is RAM: the first 1e9 attempt died to a kernel global OOM
+    # with 106 GB on /dev/shm (two oracle-winners generations = 31 GB
+    # of it) + the 16g pre-touched heap.  The fold/verify is UNTIMED,
+    # so the oracle state can live on disk — only the WAL (timed scan)
+    # and the table (timed merge) need tmpfs speed.
+    ap.add_argument(
+        "--oracle-dir",
+        default=None,
+        help="where the folded-oracle winners parquet lives (default: "
+        "under the tmpfs scratch root; pass a disk path, e.g. "
+        "/tmp/sustained_oracle, to keep ~2x winners size off RAM)",
+    )
     # Both 1e9 one-pass attempts died to GCLocker allocation retries
     # (BENCH/hunt_r5.jsonl r5_1g_sustained fires 1-2): 32 zstd-JNI
     # critical sections starve a ~68 MB humongous allocation in the
@@ -114,6 +126,8 @@ def main() -> None:
 
     root = os.path.join(SHM, f"sustained_{os.getpid()}")
     os.makedirs(root, exist_ok=True)
+    oracle_root = args.oracle_dir or root
+    os.makedirs(oracle_root, exist_ok=True)
     spark = get_spark(
         "bench_sustained",
         master=f"local[{args.cpus}]",
@@ -228,7 +242,7 @@ def main() -> None:
             # untimed: fold the engine-independent oracle, then drop the
             # consumed chunk so peak tmpfs stays bounded
             t0 = time.time()
-            winners_next = os.path.join(root, f"winners_{i}")
+            winners_next = os.path.join(oracle_root, f"winners_{i}")
             prev = (
                 spark.read.parquet(winners_cur) if winners_cur is not None else None
             )
@@ -300,6 +314,8 @@ def main() -> None:
     finally:
         spark.stop()
         shutil.rmtree(root, ignore_errors=True)
+        if args.oracle_dir:
+            shutil.rmtree(args.oracle_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
